@@ -1,0 +1,141 @@
+"""Attentional Graph Neural Operator (AGNO) on padded neighborhoods (Flax).
+
+Re-design of the reference AGNO kernel integral transform
+(src/model/layers/agno.py:21-273) for static shapes:
+
+    out(x) = reduce_{y in A(x)} α(x,y) · k(x, y[, f(y)]) [· f(y)]
+
+where A(x) is a padded K-neighborhood. Gathers become dense `[Q, K, ·]`
+indexing, the CSR segment-softmax becomes a masked softmax over K, and the
+CSR segment sum/mean becomes a masked reduce — everything static-shape,
+vmap-able over the batch, and XLA-fusable. The per-edge kernel MLP is the
+FLOP hot spot and lowers to `[Q·K, ·]` matmuls on the MXU.
+
+Transform types ('linear', 'nonlinear', '*_kernelonly') and attention types
+('cosine', 'dot_product') match the reference exactly. In 'linear' modes the
+kernel depends only on coordinates, so kernel values are computed once per
+graph and shared across the whole batch (the reference relies on the same
+property; agno.py:229-242).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.padding import PaddedGraph
+from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
+from .mlp import LinearChannelMLP
+
+
+class AGNO(nn.Module):
+    channel_mlp_features: Sequence[int]
+    transform_type: str = "linear"
+    use_attn: bool = False
+    attention_type: str = "cosine"
+    coord_dim: Optional[int] = None
+    attention_dim: int = 64
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        if self.transform_type not in (
+            "linear", "nonlinear", "linear_kernelonly", "nonlinear_kernelonly"):
+            raise ValueError(f"Invalid transform_type: {self.transform_type}")
+        if self.use_attn:
+            if self.coord_dim is None:
+                raise ValueError("coord_dim must be specified when use_attn is True")
+            if self.attention_type not in ("cosine", "dot_product"):
+                raise ValueError(f"Invalid attention_type: {self.attention_type}")
+        self.channel_mlp = LinearChannelMLP(
+            features=self.channel_mlp_features, dtype=self.dtype, name="channel_mlp")
+        if self.use_attn and self.attention_type == "dot_product":
+            self.query_proj = nn.Dense(self.attention_dim, dtype=self.dtype)
+            self.key_proj = nn.Dense(self.attention_dim, dtype=self.dtype)
+
+    def _attention_weights(self, query_coords: jnp.ndarray, key_coords: jnp.ndarray,
+                           mask: jnp.ndarray) -> jnp.ndarray:
+        """α(x,y) over the K axis. query_coords: [Q, 1, d]; key_coords: [Q, K, d]."""
+        if self.attention_type == "dot_product":
+            q = self.query_proj(query_coords)                   # [Q, 1, a]
+            k = self.key_proj(key_coords)                       # [Q, K, a]
+            scores = jnp.sum(q * k, axis=-1) / jnp.sqrt(
+                jnp.asarray(self.attention_dim, dtype=jnp.float32)).astype(k.dtype)
+        else:  # cosine
+            qn = query_coords / jnp.maximum(
+                jnp.linalg.norm(query_coords, axis=-1, keepdims=True), 1e-12)
+            kn = key_coords / jnp.maximum(
+                jnp.linalg.norm(key_coords, axis=-1, keepdims=True), 1e-12)
+            scores = jnp.sum(qn * kn, axis=-1)                  # [Q, K]
+        return masked_softmax(scores.astype(jnp.float32), mask).astype(key_coords.dtype)
+
+    def __call__(self,
+                 y: jnp.ndarray,
+                 graph: PaddedGraph,
+                 x: Optional[jnp.ndarray] = None,
+                 f_y: Optional[jnp.ndarray] = None,
+                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Compute the attentional integral transform.
+
+        Args:
+            y: [n, d1] source points (integration domain).
+            graph: PaddedGraph with indices/mask [m, K] into y.
+            x: [m, d2] query points (defaults to y).
+            f_y: [batch, n, c] or [n, c] input function on y, or None.
+            weights: [n] quadrature weights, or None.
+
+        Returns:
+            [batch, m, c_out] (batched f_y) or [m, c_out].
+        """
+        if x is None:
+            x = y
+        indices, mask = graph.indices, graph.mask
+
+        rep_coords = y[indices]                                  # [Q, K, d1]
+        self_coords = x[:, None, :]                              # [Q, 1, d2]
+
+        batched = f_y is not None and f_y.ndim == 3
+        in_features = None
+        if f_y is not None:
+            in_features = f_y[:, indices, :] if batched else f_y[indices]
+
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                self_coords[..., :self.coord_dim],
+                rep_coords[..., :self.coord_dim],
+                mask)                                            # [Q, K]
+
+        # Kernel MLP input: [y_coord ‖ x_coord (‖ f_y)]
+        self_b = jnp.broadcast_to(self_coords, rep_coords.shape[:-1] + (x.shape[-1],))
+        agg = jnp.concatenate([rep_coords, self_b], axis=-1)     # [Q, K, d1+d2]
+        nonlinear = self.transform_type in ("nonlinear", "nonlinear_kernelonly")
+        if f_y is not None and nonlinear:
+            if batched:
+                agg = jnp.broadcast_to(agg[None], (f_y.shape[0],) + agg.shape)
+                agg = jnp.concatenate([agg, in_features], axis=-1)
+            else:
+                agg = jnp.concatenate([agg, in_features], axis=-1)
+
+        kernel = self.channel_mlp(agg)      # [Q, K, c] or [B, Q, K, c]
+
+        out = kernel
+        if f_y is not None and self.transform_type != "nonlinear_kernelonly":
+            out = out * in_features if out.ndim == in_features.ndim else \
+                out[None] * in_features                          # [B, Q, K, c]
+
+        if attention is not None:
+            att = attention[..., None]
+            out = out * att if out.ndim == 3 else out * att[None]
+
+        if weights is not None:
+            nbr_w = weights[indices][..., None]                  # [Q, K, 1]
+            out = out * (nbr_w if out.ndim == 3 else nbr_w[None])
+            reduction = "sum"
+        else:
+            reduction = "sum" if self.use_attn else "mean"
+
+        m = mask if out.ndim == 3 else mask[None]
+        if reduction == "sum":
+            return masked_sum(out, jnp.broadcast_to(m[..., None], out.shape))
+        return masked_mean(out, jnp.broadcast_to(m[..., None], out.shape))

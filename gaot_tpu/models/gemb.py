@@ -1,0 +1,161 @@
+"""Geometric embedding and node positional encoding (Flax).
+
+Equivalent of the reference GEmb module (src/model/layers/gemb.py) rebuilt on
+padded neighborhoods:
+- 'statistical': per-query neighbor count, mean/variance of distances,
+  centroid offset, and covariance PCA eigenvalues (reference lines 83-171).
+  Eigenvalues use closed-form symmetric 2x2/3x3 solvers instead of
+  torch.linalg.eigvalsh — branch-free and cheap on the VPU.
+- 'pointnet': shared MLP on query-centered neighbor coords + masked max/mean
+  pooling (reference lines 173-228, replacing torch_scatter scatter_max/mean).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.padding import PaddedGraph
+from ..ops.segment_ops import masked_max, masked_mean
+from .mlp import LinearChannelMLP
+
+
+def node_pos_encode(x: jnp.ndarray, freq: int = 4) -> jnp.ndarray:
+    """Fourier node positional encoding (reference gemb.py:12-34).
+
+    x: [n, d] in [-1, 1] → [n, d * 2 * freq].
+    """
+    freqs = jnp.arange(1, freq + 1, dtype=x.dtype)               # [freq]
+    phi = jnp.pi * (x + 1.0)                                     # [n, d]
+    angles = freqs[None, :, None] * phi[:, None, :]              # [n, freq, d]
+    enc = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=2)
+    return enc.reshape(x.shape[0], -1)
+
+
+def eigvalsh_2x2(cov: jnp.ndarray) -> jnp.ndarray:
+    """Descending eigenvalues of symmetric 2x2 matrices. cov: [..., 2, 2]."""
+    a, b, c = cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]
+    mean = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    return jnp.stack([mean + disc, mean - disc], axis=-1)
+
+
+def eigvalsh_3x3(cov: jnp.ndarray) -> jnp.ndarray:
+    """Descending eigenvalues of symmetric 3x3 matrices (trigonometric method).
+
+    cov: [..., 3, 3]. Branch-free: degenerate (≈scalar) matrices fall back to
+    the diagonal mean.
+    """
+    a11, a22, a33 = cov[..., 0, 0], cov[..., 1, 1], cov[..., 2, 2]
+    a12, a13, a23 = cov[..., 0, 1], cov[..., 0, 2], cov[..., 1, 2]
+    q = (a11 + a22 + a33) / 3.0
+    p1 = a12 ** 2 + a13 ** 2 + a23 ** 2
+    p2 = (a11 - q) ** 2 + (a22 - q) ** 2 + (a33 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+    b11, b22, b33 = (a11 - q) / safe_p, (a22 - q) / safe_p, (a33 - q) / safe_p
+    b12, b13, b23 = a12 / safe_p, a13 / safe_p, a23 / safe_p
+    det_b = (b11 * (b22 * b33 - b23 * b23)
+             - b12 * (b12 * b33 - b23 * b13)
+             + b13 * (b12 * b23 - b22 * b13))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    degenerate = p2 <= 0
+    e1 = jnp.where(degenerate, q, e1)
+    e2 = jnp.where(degenerate, q, e2)
+    e3 = jnp.where(degenerate, q, e3)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
+                         graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
+    """Normalized per-query geometric statistics. Shapes:
+    input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d].
+
+    For vx-flattened batches (Q = num_samples · per-sample queries) the
+    standardization runs per sample, matching the reference's per-sample
+    geoembed calls (src/model/layers/magno.py:396-400).
+    """
+    indices, mask = graph.indices, graph.mask
+    num_dims = latent_queries.shape[-1]
+
+    nbr = input_geom[indices]                                    # [Q, K, d]
+    diff = nbr - latent_queries[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))  # [Q, K]
+
+    counts = jnp.sum(mask, axis=-1).astype(input_geom.dtype)     # [Q]
+    has_nbrs = counts > 0
+
+    d_avg = masked_mean(dist[..., None], mask)[..., 0]           # [Q]
+    e_x2 = masked_mean((dist * dist)[..., None], mask)[..., 0]
+    d_var = jnp.maximum(e_x2 - d_avg * d_avg, 0.0)
+
+    centroid = masked_mean(nbr, mask)                            # [Q, d]
+    delta = centroid - latent_queries
+
+    centered = jnp.where(mask[..., None], nbr - centroid[:, None, :], 0.0)
+    cov = jnp.einsum("qki,qkj->qij", centered, centered,
+                     preferred_element_type=jnp.float32)
+    cov = cov / jnp.maximum(counts, 1.0)[:, None, None]
+    eig = eigvalsh_2x2(cov) if num_dims == 2 else eigvalsh_3x3(cov)
+    eig = jnp.where(has_nbrs[:, None], eig, 0.0).astype(input_geom.dtype)
+
+    feats = jnp.concatenate(
+        [counts[:, None], d_avg[:, None], d_var[:, None], delta, eig], axis=-1)
+    feats = jnp.where(has_nbrs[:, None], feats, 0.0)
+
+    # Standardize over queries (reference gemb.py:163-169; torch .std is the
+    # unbiased estimator).
+    flat_q = feats.shape[0]
+    per = flat_q // num_samples
+    grouped = feats.reshape(num_samples, per, -1)
+    mean = grouped.mean(axis=1, keepdims=True)
+    var = grouped.var(axis=1, keepdims=True) * (per / max(per - 1, 1))
+    std = jnp.sqrt(var)
+    std = jnp.where(std < 1e-6, 1.0, std)
+    return ((grouped - mean) / std).reshape(flat_q, -1)
+
+
+class GeometricEmbedding(nn.Module):
+    """Per-query geometric embedding over a padded neighborhood graph."""
+
+    output_dim: int
+    method: str = "statistical"   # ['statistical', 'pointnet']
+    pooling: str = "max"          # ['max', 'mean'] for pointnet
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
+                 graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
+        if self.method == "statistical":
+            feats = statistical_features(input_geom, latent_queries, graph, num_samples)
+            h = nn.Dense(64, dtype=self.dtype, name="stat_dense0")(feats)
+            h = nn.relu(h)
+            h = nn.Dense(self.output_dim, dtype=self.dtype, name="stat_dense1")(h)
+            return nn.relu(h)
+
+        if self.method == "pointnet":
+            indices, mask = graph.indices, graph.mask
+            nbr = input_geom[indices]                            # [Q, K, d]
+            centered = nbr - latent_queries[:, None, :]
+            h = LinearChannelMLP(
+                features=(64, 64), non_linearity=nn.relu,
+                dtype=self.dtype, name="pointnet_mlp")(centered)
+            h = nn.relu(h)                                       # [Q, K, 64]
+            if self.pooling == "max":
+                pooled = masked_max(h, mask)
+            elif self.pooling == "mean":
+                pooled = masked_mean(h, mask)
+            else:
+                raise ValueError(f"Unsupported pooling method: {self.pooling}")
+            out = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(pooled)
+            out = nn.relu(out)
+            has_nbrs = jnp.any(mask, axis=-1)
+            return jnp.where(has_nbrs[:, None], out, 0.0)
+
+        raise ValueError(f"Unknown geometric embedding method: {self.method}")

@@ -1,0 +1,261 @@
+"""MAGNO — Multiscale Attentional Graph Neural Operator encoder/decoder (Flax).
+
+Re-design of the reference MAGNO (src/model/layers/magno.py:74-751) with two
+TPU-first changes:
+
+1. Graphs are always precomputed on the host as padded `[Q, K]` arrays; there
+   is no on-device neighbor search (the reference computes/caches CSR graphs
+   inside forward, magno.py:174-215).
+2. Variable-coordinate (vx) batches — which the reference processes in a
+   serial per-sample Python loop (magno.py:356-413, 694-751) — are folded
+   into the query axis: per-sample node sets are flattened to one big point
+   set, graph indices are offset per sample, and a single static-shape AGNO
+   call covers the whole batch. One compile, full MXU utilization, no loop.
+
+Fixed-coordinate (fx) batches share one graph, so kernel values are computed
+once per graph and broadcast over the batch (B× fewer kernel-MLP FLOPs).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import MAGNOConfig
+from ..ops.edge_drop import apply_edge_drop_mask
+from ..ops.padding import PaddedGraph
+from .agno import AGNO
+from .gemb import GeometricEmbedding, node_pos_encode
+from .mlp import ChannelMLP, SimpleMLP
+
+
+def _kernel_coord_dim(config: MAGNOConfig) -> int:
+    return config.coord_dim * 4 * 2 if config.node_embedding else config.coord_dim
+
+
+def flatten_vx_graph(graph: PaddedGraph, num_sources: int) -> PaddedGraph:
+    """Offset per-sample neighbor indices into a flattened source point set.
+
+    graph: indices/mask [B, Q, K] indexing per-sample sources [0, num_sources)
+    → indices/mask [B*Q, K] indexing the concatenated sources [0, B*num_sources).
+    """
+    b, q, k = graph.indices.shape
+    offsets = (jnp.arange(b, dtype=graph.indices.dtype) * num_sources)[:, None, None]
+    indices = (graph.indices + offsets).reshape(b * q, k)
+    mask = graph.mask.reshape(b * q, k)
+    return PaddedGraph(indices=indices, mask=mask)
+
+
+class _MAGNOBase(nn.Module):
+    """Shared multiscale AGNO + geometric-embedding machinery."""
+
+    in_channels: int
+    out_channels: int
+    config: MAGNOConfig
+    agno_out_channels: int          # width of the AGNO/geoembed path
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        cfg = self.config
+        kdim = _kernel_coord_dim(cfg)
+        kernel_in = kdim * 2
+        if cfg.transform_type in ("nonlinear", "nonlinear_kernelonly"):
+            kernel_in += self.in_channels
+        mlp_sizes = [cfg.hidden_size] * cfg.mlp_layers + [self.agno_out_channels]
+        self.agno = AGNO(
+            channel_mlp_features=tuple(mlp_sizes),
+            transform_type=cfg.transform_type,
+            use_attn=cfg.use_attention,
+            attention_type=cfg.attention_type,
+            coord_dim=kdim,
+            dtype=self.dtype,
+        )
+        if cfg.use_geoembed:
+            self.geoembed = GeometricEmbedding(
+                output_dim=self.agno_out_channels,
+                method=cfg.embedding_method,
+                pooling=cfg.pooling,
+                dtype=self.dtype,
+            )
+            self.recovery = ChannelMLP(
+                out_channels=self.agno_out_channels, n_layers=1, dtype=self.dtype)
+        if cfg.use_scale_weights:
+            self.scale_weighting = SimpleMLP(
+                output_size=len(cfg.scales),
+                hidden_size=cfg.hidden_size // 4,
+                num_layers=3,
+                activation=nn.relu,
+                dtype=self.dtype,
+            )
+
+    def _drop_edges(self, graph: PaddedGraph, training: bool) -> PaddedGraph:
+        cfg = self.config
+        if not training or cfg.sampling_strategy is None:
+            return graph
+        rng = self.make_rng("edge_drop")
+        mask = apply_edge_drop_mask(
+            graph.mask, rng, cfg.sampling_strategy,
+            cfg.max_neighbors, cfg.sample_ratio, training=True)
+        return PaddedGraph(graph.indices, mask)
+
+    def _agno_scale(self,
+                    src_coords: jnp.ndarray,
+                    dst_coords: jnp.ndarray,
+                    f_src: jnp.ndarray,
+                    graph: PaddedGraph,
+                    training: bool,
+                    num_samples: int) -> jnp.ndarray:
+        """One scale: AGNO transform + optional geometric embedding + recovery.
+
+        src_coords [n, d], dst_coords [m, d], f_src [batch, n, c] (fx) or
+        [n, c] (vx-flattened), graph [m, K].
+        """
+        cfg = self.config
+        graph = self._drop_edges(graph, training)
+
+        if cfg.node_embedding:
+            src_proc = node_pos_encode(src_coords)
+            dst_proc = node_pos_encode(dst_coords)
+        else:
+            src_proc, dst_proc = src_coords, dst_coords
+
+        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src)
+
+        if cfg.use_geoembed:
+            gemb = self.geoembed(src_coords, dst_coords, graph, num_samples)
+            if out.ndim == 3:    # fx: [B, m, c] — broadcast the shared embedding
+                gemb = jnp.broadcast_to(gemb[None], out.shape[:1] + gemb.shape)
+            out = jnp.concatenate([out, gemb], axis=-1)
+            out = self.recovery(out)
+        return out
+
+    def _combine_scales(self, per_scale: Sequence[jnp.ndarray],
+                        weight_coords: jnp.ndarray) -> jnp.ndarray:
+        """Mean or learned softmax-weighted combination over scales
+        (reference magno.py:291-304)."""
+        if len(per_scale) == 1:
+            return per_scale[0]
+        stacked = jnp.stack(per_scale, axis=0)      # [S, ..., m, c]
+        if self.config.use_scale_weights:
+            w = nn.softmax(self.scale_weighting(weight_coords), axis=-1)  # [m, S]
+            w = jnp.moveaxis(w, -1, 0)[..., None]   # [S, m, 1]
+            while w.ndim < stacked.ndim:
+                w = jnp.expand_dims(w, 1)
+            return jnp.sum(stacked * w, axis=0)
+        return jnp.mean(stacked, axis=0)
+
+
+class MAGNOEncoder(_MAGNOBase):
+    """Physical nodes → latent grid (reference MAGNOEncoder, magno.py:74-413)."""
+
+    lifting_layers: int = 1
+
+    def setup(self):
+        super().setup()
+        self.lifting = ChannelMLP(
+            out_channels=self.out_channels,
+            hidden_channels=self.config.hidden_size,
+            n_layers=self.lifting_layers,
+            dtype=self.dtype,
+        )
+
+    def __call__(self,
+                 x_coord: jnp.ndarray,
+                 pndata: jnp.ndarray,
+                 latent_tokens_coord: jnp.ndarray,
+                 graphs: Sequence[PaddedGraph],
+                 training: bool = False) -> jnp.ndarray:
+        """x_coord: [N, d] (fx) or [B, N, d] (vx); pndata: [B, N, Cin];
+        latent_tokens_coord: [Q, d]; graphs: per-scale PaddedGraphs —
+        [Q, K] (fx) or [B, Q, K] (vx). Returns [B, Q, Cout]."""
+        cfg = self.config
+        vx = x_coord.ndim == 3
+        batch = pndata.shape[0]
+        q = latent_tokens_coord.shape[0]
+
+        lifted = self.lifting(pndata)                    # [B, N, C]
+
+        if vx:
+            n = x_coord.shape[1]
+            src_coords = x_coord.reshape(batch * n, -1)
+            dst_coords = jnp.tile(latent_tokens_coord, (batch, 1))
+            f_src = lifted.reshape(batch * n, -1)        # 2D f_y → shared path
+            per_scale = []
+            for graph in graphs:
+                flat = flatten_vx_graph(graph, n)
+                enc = self._agno_scale(src_coords, dst_coords, f_src, flat,
+                                       training, num_samples=batch)
+                per_scale.append(enc.reshape(batch, q, -1))
+            return self._combine_scales(per_scale, latent_tokens_coord)
+
+        per_scale = [
+            self._agno_scale(x_coord, latent_tokens_coord, lifted, graph,
+                             training, num_samples=1)
+            for graph in graphs
+        ]
+        return self._combine_scales(per_scale, latent_tokens_coord)
+
+
+class MAGNODecoder(_MAGNOBase):
+    """Latent grid → query nodes (reference MAGNODecoder, magno.py:418-751)."""
+
+    projection_layers: int = 1
+
+    def setup(self):
+        super().setup()
+        self.projection = ChannelMLP(
+            out_channels=self.out_channels,
+            hidden_channels=self.config.hidden_size,
+            n_layers=self.projection_layers,
+            dtype=self.dtype,
+        )
+
+    def __call__(self,
+                 latent_tokens_coord: jnp.ndarray,
+                 rndata: jnp.ndarray,
+                 query_coord: jnp.ndarray,
+                 graphs: Sequence[PaddedGraph],
+                 training: bool = False) -> jnp.ndarray:
+        """latent_tokens_coord: [Q, d]; rndata: [B, Q, C]; query_coord:
+        [M, d] (fx) or [B, M, d] (vx); graphs: [M, K] (fx) or [B, M, K] (vx).
+        Returns [B, M, Cout]."""
+        vx = query_coord.ndim == 3
+        batch = rndata.shape[0]
+        q = latent_tokens_coord.shape[0]
+
+        if vx:
+            m = query_coord.shape[1]
+            src_coords = jnp.tile(latent_tokens_coord, (batch, 1))
+            dst_coords = query_coord.reshape(batch * m, -1)
+            f_src = rndata.reshape(batch * q, -1)
+            per_scale = []
+            for graph in graphs:
+                flat = flatten_vx_graph(graph, q)
+                dec = self._agno_scale(src_coords, dst_coords, f_src, flat,
+                                       training, num_samples=batch)
+                per_scale.append(dec.reshape(batch, m, -1))
+            # Scale weights from each sample's own query coords (the reference
+            # reuses the first sample's coords for the whole batch,
+            # magno.py:607-613; per-sample weights are strictly more faithful
+            # to the learned weighting).
+            combined = self._combine_scales_vx(per_scale, query_coord)
+        else:
+            per_scale = [
+                self._agno_scale(latent_tokens_coord, query_coord, rndata, graph,
+                                 training, num_samples=1)
+                for graph in graphs
+            ]
+            combined = self._combine_scales(per_scale, query_coord)
+
+        return self.projection(combined)
+
+    def _combine_scales_vx(self, per_scale, query_coord):
+        if len(per_scale) == 1:
+            return per_scale[0]
+        stacked = jnp.stack(per_scale, axis=0)           # [S, B, M, c]
+        if self.config.use_scale_weights:
+            w = nn.softmax(self.scale_weighting(query_coord), axis=-1)  # [B, M, S]
+            w = jnp.moveaxis(w, -1, 0)[..., None]        # [S, B, M, 1]
+            return jnp.sum(stacked * w, axis=0)
+        return jnp.mean(stacked, axis=0)
