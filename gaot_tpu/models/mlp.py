@@ -10,6 +10,7 @@ Functional equivalents of the reference MLP zoo (src/model/layers/mlp.py):
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
@@ -20,7 +21,7 @@ class LinearChannelMLP(nn.Module):
     """Dense stack: features[i] outputs per layer, non-linearity between layers."""
 
     features: Sequence[int]
-    non_linearity: Callable = nn.gelu
+    non_linearity: Callable = functools.partial(nn.gelu, approximate=False)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -39,7 +40,7 @@ class ChannelMLP(nn.Module):
     out_channels: int
     hidden_channels: Optional[int] = None
     n_layers: int = 2
-    non_linearity: Callable = nn.gelu
+    non_linearity: Callable = functools.partial(nn.gelu, approximate=False)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact

@@ -1,0 +1,156 @@
+"""AGNO parity tests: padded implementation vs a naive CSR reference that
+mirrors the original integral-transform math (reference src/model/layers/agno.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaot_tpu.models.agno import AGNO
+from gaot_tpu.ops import PaddedGraph, pad_csr, radius_search, repad
+
+
+def _mlp_np(x, mlp_params):
+    """Apply the extracted LinearChannelMLP params in NumPy (exact gelu)."""
+    n = len(mlp_params)
+    for i in range(n):
+        w = np.asarray(mlp_params[f"dense_{i}"]["kernel"])
+        b = np.asarray(mlp_params[f"dense_{i}"]["bias"])
+        x = x @ w + b
+        if i < n - 1:
+            x = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
+    return x
+
+
+def naive_agno_csr(y, x, f_y, idx, rs, mlp_params, transform_type, use_attn,
+                   attn_params=None):
+    """Ragged CSR implementation of the reference AGNO forward."""
+    batch = f_y.shape[0] if f_y is not None and f_y.ndim == 3 else None
+    q = len(rs) - 1
+    outs = []
+    for qi in range(q):
+        nbrs = idx[rs[qi]:rs[qi + 1]]
+        rep = y[nbrs]                                  # [k, d]
+        self_c = np.tile(x[qi], (len(nbrs), 1))        # [k, d]
+        if use_attn and len(nbrs):
+            if attn_params is not None:  # dot product
+                qv = self_c @ np.asarray(attn_params["query_proj"]["kernel"]) + \
+                    np.asarray(attn_params["query_proj"]["bias"])
+                kv = rep @ np.asarray(attn_params["key_proj"]["kernel"]) + \
+                    np.asarray(attn_params["key_proj"]["bias"])
+                scores = (qv * kv).sum(-1) / np.sqrt(qv.shape[-1])
+            else:  # cosine
+                qn = self_c / np.maximum(np.linalg.norm(self_c, axis=-1, keepdims=True), 1e-12)
+                kn = rep / np.maximum(np.linalg.norm(rep, axis=-1, keepdims=True), 1e-12)
+                scores = (qn * kn).sum(-1)
+            e = np.exp(scores - scores.max())
+            attn = e / e.sum()
+        else:
+            attn = None
+
+        agg = np.concatenate([rep, self_c], axis=-1)
+        nonlinear = transform_type in ("nonlinear", "nonlinear_kernelonly")
+
+        def reduce_one(fb):
+            a = agg
+            if fb is not None and nonlinear:
+                a = np.concatenate([agg, fb[nbrs]], axis=-1)
+            ker = _mlp_np(a, mlp_params)
+            o = ker
+            if fb is not None and transform_type != "nonlinear_kernelonly":
+                o = o * fb[nbrs]
+            if attn is not None:
+                o = o * attn[:, None]
+                return o.sum(0)
+            return o.mean(0) if len(nbrs) else np.zeros(o.shape[-1])
+
+        if len(nbrs) == 0:
+            width = mlp_params[f"dense_{len(mlp_params)-1}"]["bias"].shape[0]
+            zero = np.zeros(width, dtype=np.float32)
+            outs.append(np.stack([zero] * batch) if batch else zero)
+        elif batch is not None:
+            outs.append(np.stack([reduce_one(f_y[b]) for b in range(batch)]))
+        else:
+            outs.append(reduce_one(f_y))
+    out = np.stack(outs)                                # [Q, ...] or [Q, B, C]
+    if batch is not None:
+        out = np.moveaxis(out, 0, 1)
+    return out
+
+
+def _setup(seed=0, n=60, q=25, dim=2, radius=0.35):
+    rng = np.random.default_rng(seed)
+    y = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    x = rng.uniform(-1, 1, (q, dim)).astype(np.float32)
+    idx, rs = radius_search(y, x, radius)
+    graph = pad_csr(idx, rs, pad_multiple=4)
+    return y, x, idx, rs, graph, rng
+
+
+@pytest.mark.parametrize("transform_type", ["linear", "nonlinear",
+                                            "linear_kernelonly", "nonlinear_kernelonly"])
+@pytest.mark.parametrize("use_attn", [False, True])
+def test_agno_matches_csr_reference(transform_type, use_attn):
+    y, x, idx, rs, graph, rng = _setup()
+    c_in = 3
+    # The k·f multiply applies to every mode except nonlinear_kernelonly
+    # (reference agno.py:245-246), and requires kernel width == function width.
+    c_out = 5 if transform_type == "nonlinear_kernelonly" else c_in
+    f_y = rng.normal(size=(2, y.shape[0], c_in)).astype(np.float32)
+
+    model = AGNO(channel_mlp_features=(8, c_out), transform_type=transform_type,
+                 use_attn=use_attn, attention_type="cosine", coord_dim=2)
+    g = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    params = model.init(jax.random.key(0), jnp.asarray(y), g, jnp.asarray(x),
+                        jnp.asarray(f_y))
+    got = np.asarray(model.apply(params, jnp.asarray(y), g, jnp.asarray(x),
+                                 jnp.asarray(f_y)))
+
+    mlp_params = params["params"]["channel_mlp"]
+    want = naive_agno_csr(y, x, f_y, idx, rs, mlp_params, transform_type, use_attn)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_agno_dot_product_attention():
+    y, x, idx, rs, graph, rng = _setup(seed=1)
+    f_y = rng.normal(size=(2, y.shape[0], 3)).astype(np.float32)
+    model = AGNO(channel_mlp_features=(8, 3), transform_type="linear",
+                 use_attn=True, attention_type="dot_product", coord_dim=2)
+    g = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    params = model.init(jax.random.key(0), jnp.asarray(y), g, jnp.asarray(x),
+                        jnp.asarray(f_y))
+    got = np.asarray(model.apply(params, jnp.asarray(y), g, jnp.asarray(x),
+                                 jnp.asarray(f_y)))
+    attn_params = {"query_proj": params["params"]["query_proj"],
+                   "key_proj": params["params"]["key_proj"]}
+    want = naive_agno_csr(y, x, f_y, idx, rs, params["params"]["channel_mlp"],
+                          "linear", True, attn_params)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_agno_padding_invariance():
+    """Output must not depend on the padded K (masked entries are inert)."""
+    y, x, idx, rs, graph, rng = _setup(seed=2)
+    f_y = rng.normal(size=(3, y.shape[0], 4)).astype(np.float32)
+    model = AGNO(channel_mlp_features=(8, 4), transform_type="nonlinear",
+                 use_attn=True, attention_type="cosine", coord_dim=2)
+    g1 = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    bigger = repad(graph, graph.k + 16)
+    g2 = PaddedGraph(jnp.asarray(bigger.indices), jnp.asarray(bigger.mask))
+    params = model.init(jax.random.key(0), jnp.asarray(y), g1, jnp.asarray(x),
+                        jnp.asarray(f_y))
+    out1 = model.apply(params, jnp.asarray(y), g1, jnp.asarray(x), jnp.asarray(f_y))
+    out2 = model.apply(params, jnp.asarray(y), g2, jnp.asarray(x), jnp.asarray(f_y))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6, atol=1e-6)
+
+
+def test_agno_no_function_transform_a():
+    """Transform type (a): no f_y at all."""
+    y, x, idx, rs, graph, _ = _setup(seed=3)
+    model = AGNO(channel_mlp_features=(8, 4), transform_type="linear",
+                 use_attn=False, coord_dim=2)
+    g = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    params = model.init(jax.random.key(0), jnp.asarray(y), g, jnp.asarray(x))
+    got = np.asarray(model.apply(params, jnp.asarray(y), g, jnp.asarray(x)))
+    want = naive_agno_csr(y, x, None, idx, rs, params["params"]["channel_mlp"],
+                          "linear", False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
