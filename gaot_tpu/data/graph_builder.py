@@ -1,0 +1,168 @@
+"""Graph construction for the data pipeline.
+
+Equivalent of the reference GraphBuilder (src/datasets/graph_builder.py:13-174)
+with TPU-static output: instead of per-sample ragged CSR lists, it emits
+split-wide padded index/mask arrays with a single (N, K_enc, K_dec) shape per
+dataset so XLA compiles the model exactly once.
+
+- fx mode: one encoder graph (physical→latent) and one decoder graph
+  (latent→physical) per scale, shared by every batch.
+- vx mode: per-sample graphs stacked to [S, Q, K]; per-sample node counts are
+  padded to a common N with far-away sentinel coordinates (no neighbors
+  within any radius) plus a node mask for the loss.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.neighbor_search import radius_search
+from ..ops.padding import PaddedGraph, pad_csr, repad, stack_graphs
+from ..utils.scaling import rescale
+
+SENTINEL = 10.0  # padded-node coordinate: farther than any radius in [-1,1] space
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@dataclass
+class VxSplitGraphs:
+    """Per-split padded graphs + padded coordinates for vx mode."""
+
+    coords: np.ndarray          # [S, N_pad, d] model-space coords (coord_scaler)
+    node_mask: np.ndarray       # [S, N_pad] True for real nodes
+    encoder: List[PaddedGraph]  # per scale, stacked [S, Q, K_enc]
+    decoder: List[PaddedGraph]  # per scale, stacked [S, N_pad, K_dec]
+
+
+class GraphBuilder:
+    """Builds padded radius graphs on the host (optionally multi-threaded —
+    the native C++ search releases the GIL inside its worker threads)."""
+
+    def __init__(self, method: str = "auto", pad_multiple: int = 8,
+                 neighbor_cap: Optional[int] = None, node_pad_multiple: int = 64,
+                 workers: Optional[int] = None):
+        self.method = method
+        self.pad_multiple = pad_multiple
+        self.neighbor_cap = neighbor_cap
+        self.node_pad_multiple = node_pad_multiple
+        self.workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+
+    # -- fx ------------------------------------------------------------
+    def build_fx_graphs(self, x_coord: np.ndarray, latent_queries: np.ndarray,
+                        radius: float, scales: Sequence[float]):
+        """One (encoder, decoder) padded graph pair per scale."""
+        encoder, decoder = [], []
+        for s in scales:
+            r = radius * s
+            encoder.append(pad_csr(*radius_search(x_coord, latent_queries, r,
+                                                  method=self.method),
+                                   pad_multiple=self.pad_multiple,
+                                   cap=self.neighbor_cap))
+            decoder.append(pad_csr(*radius_search(latent_queries, x_coord, r,
+                                                  method=self.method),
+                                   pad_multiple=self.pad_multiple,
+                                   cap=self.neighbor_cap))
+        return encoder, decoder
+
+    # -- vx ------------------------------------------------------------
+    def build_vx_split(self, x_data: np.ndarray, latent_queries: np.ndarray,
+                       radius: float, scales: Sequence[float],
+                       n_pad: Optional[int] = None,
+                       model_transform=None) -> VxSplitGraphs:
+        """Build per-sample graphs for a whole split and stack them.
+
+        x_data: [S, N, d] (or [S, 1, N, d]); per-sample coordinates are
+        rescaled to [-1, 1] for the neighbor search (reference
+        graph_builder.py:59-60), while the coords handed to the model use
+        ``model_transform`` (the dataset CoordinateScaler, reference
+        data_utils.py:63-65) — defaulting to the same rescale.
+        """
+        if x_data.ndim == 4:
+            x_data = x_data[:, 0]
+        num_samples, n, d = x_data.shape
+        n_pad = n_pad or _round_up(n, self.node_pad_multiple)
+
+        coords = np.full((num_samples, n_pad, d), SENTINEL, dtype=np.float32)
+        node_mask = np.zeros((num_samples, n_pad), dtype=bool)
+
+        def build_one(i):
+            x_raw = np.asarray(x_data[i], dtype=np.float64)
+            x = rescale(x_raw, (-1, 1))
+            x_model = (model_transform(x_raw) if model_transform is not None
+                       else x).astype(np.float32)
+            enc, dec = [], []
+            for s in scales:
+                r = radius * s
+                enc.append(pad_csr(*radius_search(x, latent_queries, r,
+                                                  method=self.method),
+                                   pad_multiple=self.pad_multiple,
+                                   cap=self.neighbor_cap))
+                dg = pad_csr(*radius_search(latent_queries, x, r,
+                                            method=self.method),
+                             pad_multiple=self.pad_multiple,
+                             cap=self.neighbor_cap)
+                # Pad decoder query rows (one per physical node) to n_pad.
+                pad_rows = n_pad - dg.indices.shape[0]
+                dec.append(PaddedGraph(
+                    np.pad(dg.indices, ((0, pad_rows), (0, 0))),
+                    np.pad(dg.mask, ((0, pad_rows), (0, 0)))))
+            return i, x_model, enc, dec
+
+        enc_per_sample = [None] * num_samples
+        dec_per_sample = [None] * num_samples
+        if self.workers > 1 and num_samples > 1:
+            with concurrent.futures.ThreadPoolExecutor(self.workers) as pool:
+                results = list(pool.map(build_one, range(num_samples)))
+        else:
+            results = [build_one(i) for i in range(num_samples)]
+        for i, x_scaled, enc, dec in results:
+            coords[i, :n] = x_scaled
+            node_mask[i, :n] = True
+            enc_per_sample[i] = enc
+            dec_per_sample[i] = dec
+
+        num_scales = len(scales)
+        encoder = [stack_graphs([enc_per_sample[i][s] for i in range(num_samples)])
+                   for s in range(num_scales)]
+        decoder = [stack_graphs([dec_per_sample[i][s] for i in range(num_samples)])
+                   for s in range(num_scales)]
+        return VxSplitGraphs(coords=coords, node_mask=node_mask,
+                             encoder=encoder, decoder=decoder)
+
+    def build_all_vx_graphs(self, data_splits: Dict, latent_queries: np.ndarray,
+                            radius: float, scales: Sequence[float],
+                            build_train: bool = True,
+                            model_transform=None) -> Dict[str, Optional[VxSplitGraphs]]:
+        """Build vx graphs for every split with unified shapes across splits
+        (single XLA compilation for train/val/test)."""
+        split_names = ["test"] + (["train", "val"] if build_train else [])
+        max_n = max(
+            (data_splits[s]["x"].shape[-2] for s in split_names if s in data_splits),
+            default=0)
+        n_pad = _round_up(max_n, self.node_pad_multiple)
+
+        out: Dict[str, Optional[VxSplitGraphs]] = {"train": None, "val": None, "test": None}
+        for s in split_names:
+            if s in data_splits and data_splits[s]["x"] is not None \
+                    and len(data_splits[s]["x"]):
+                out[s] = self.build_vx_split(
+                    data_splits[s]["x"], latent_queries, radius, scales,
+                    n_pad=n_pad, model_transform=model_transform)
+
+        # Unify K across splits per scale so one compiled program serves all.
+        built = [g for g in out.values() if g is not None]
+        if built:
+            for si in range(len(scales)):
+                k_enc = max(g.encoder[si].k for g in built)
+                k_dec = max(g.decoder[si].k for g in built)
+                for g in built:
+                    g.encoder[si] = repad(g.encoder[si], k_enc)
+                    g.decoder[si] = repad(g.decoder[si], k_dec)
+        return out

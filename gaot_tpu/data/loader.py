@@ -1,0 +1,114 @@
+"""Host-side batch iterators with static shapes.
+
+Replaces the reference's torch DataLoader + collate stack
+(src/datasets/data_processor.py:323-378, src/datasets/data_utils.py:272-314)
+with simple NumPy iterators designed for XLA:
+
+- every batch has the same shape: the final partial batch is padded by
+  wrapping indices and carries a ``sample_mask`` so losses/metrics ignore
+  padding — one compiled program per phase, zero recompiles;
+- batches are plain dicts of NumPy arrays; the trainer moves them to device
+  (with sharding) via jax.device_put.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterates a dataset of S samples as fixed-size batches.
+
+    ``get_batch(indices) -> dict`` is supplied by the dataset adapter; this
+    class handles shuffling, batch padding, and the sample mask.
+    """
+
+    def __init__(self, num_samples: int, batch_size: int,
+                 get_batch: Callable[[np.ndarray], Dict[str, np.ndarray]],
+                 shuffle: bool = False, seed: int = 0,
+                 drop_last: bool = False):
+        self.num_samples = num_samples
+        self.batch_size = min(batch_size, num_samples) if num_samples else batch_size
+        self.get_batch = get_batch
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return (self.num_samples + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = (self._rng.permutation(self.num_samples) if self.shuffle
+                 else np.arange(self.num_samples))
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, self.num_samples, bs):
+            chunk = order[start:start + bs]
+            if len(chunk) < bs:
+                if self.drop_last:
+                    return
+                pad = np.resize(order, bs - len(chunk))  # wrap-around padding
+                mask = np.concatenate([np.ones(len(chunk), bool),
+                                       np.zeros(bs - len(chunk), bool)])
+                chunk = np.concatenate([chunk, pad])
+            else:
+                mask = np.ones(bs, dtype=bool)
+            batch = self.get_batch(chunk)
+            batch["sample_mask"] = mask
+            yield batch
+
+
+def make_static_fx_loader(c: Optional[np.ndarray], u: np.ndarray,
+                          batch_size: int, shuffle: bool = False,
+                          seed: int = 0) -> BatchLoader:
+    """Loader for fixed-coordinate static data: batches of (c, u)."""
+
+    def get_batch(idx):
+        batch = {"u": u[idx]}
+        if c is not None:
+            batch["c"] = c[idx]
+        return batch
+
+    return BatchLoader(len(u), batch_size, get_batch, shuffle=shuffle, seed=seed)
+
+
+def make_static_vx_loader(c: Optional[np.ndarray], u: np.ndarray,
+                          graphs, batch_size: int, shuffle: bool = False,
+                          seed: int = 0) -> BatchLoader:
+    """Loader for variable-coordinate static data.
+
+    ``graphs`` is a VxSplitGraphs; u/c are per-sample arrays [S, N, ·]
+    (unpadded N — they are padded here to the graph's N_pad).
+    """
+    n_pad = graphs.coords.shape[1]
+    n = u.shape[1]
+
+    def pad_nodes(a):
+        if a.shape[1] == n_pad:
+            return a
+        return np.pad(a, ((0, 0), (0, n_pad - a.shape[1]), (0, 0)))
+
+    u_p = pad_nodes(u)
+    c_p = pad_nodes(c) if c is not None else None
+
+    def get_batch(idx):
+        batch = {
+            "u": u_p[idx],
+            "x": graphs.coords[idx],
+            "node_mask": graphs.node_mask[idx],
+        }
+        if c_p is not None:
+            batch["c"] = c_p[idx]
+        for s, g in enumerate(graphs.encoder):
+            batch[f"enc_idx_{s}"] = g.indices[idx]
+            batch[f"enc_mask_{s}"] = g.mask[idx]
+        for s, g in enumerate(graphs.decoder):
+            batch[f"dec_idx_{s}"] = g.indices[idx]
+            batch[f"dec_mask_{s}"] = g.mask[idx]
+        return batch
+
+    return BatchLoader(len(u), batch_size, get_batch, shuffle=shuffle, seed=seed)

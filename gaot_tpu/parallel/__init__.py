@@ -1,1 +1,19 @@
+from .mesh import (
+    init_distributed,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_params,
+    param_specs,
+)
 
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+    "param_specs",
+]

@@ -1,0 +1,224 @@
+"""Base trainer lifecycle.
+
+Mirrors the reference BaseTrainer (src/core/base_trainer.py:19-280) —
+config merge, metadata lookup, seeding, init_dataset/init_model/
+init_optimizer, fit/test/checkpoint — with the epoch loop owned by the
+trainer (the reference inverts control into the optimizer object,
+src/utils/optimizers.py:116-184; here the optimizer is a pure optax chain
+and `fit` drives a jitted train step).
+
+Parallelism: one ('data', 'model') mesh; batches sharded on 'data', params
+replicated or tensor-sharded. Best-model tracking keeps a reference to the
+best params pytree (jax arrays are immutable — no deepcopy needed, unlike
+reference optimizers.py:163).
+"""
+from __future__ import annotations
+
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    DatasetConfig,
+    GAOTConfig,
+    ModelConfig,
+    OptimizerConfig,
+    PathConfig,
+    SetUpConfig,
+    merge_config,
+)
+from ..core.metadata import DATASET_METADATA
+from ..parallel.mesh import init_distributed, make_mesh, shard_batch, shard_params
+from ..utils.plotting import plot_losses
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .schedules import make_optimizer
+
+_DTYPES = {
+    "float32": jnp.float32, "torch.float32": jnp.float32, "float": jnp.float32,
+    "float64": jnp.float64, "torch.float64": jnp.float64, "double": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+class BaseTrainer(ABC):
+    """Common lifecycle: merge configs → data → model → optimizer → fit/test."""
+
+    def __init__(self, config, datarow: Optional[Dict] = None):
+        if isinstance(config, GAOTConfig):
+            raw = config
+            self.setup_config = raw.setup
+            self.model_config = raw.model
+            self.dataset_config = raw.dataset
+            self.optimizer_config = raw.optimizer
+            self.path_config = raw.path
+        else:
+            raw = dict(config)
+            self.setup_config = merge_config(SetUpConfig, raw.get("setup", {}))
+            self.model_config = merge_config(ModelConfig, raw.get("model", {}))
+            self.dataset_config = merge_config(DatasetConfig, raw.get("dataset", {}))
+            self.optimizer_config = merge_config(OptimizerConfig, raw.get("optimizer", {}))
+            self.path_config = merge_config(PathConfig, raw.get("path", {}))
+
+        self.metadata = DATASET_METADATA[self.dataset_config.metaname]
+        self.datarow = datarow if datarow is not None else {}
+
+        init_distributed(self.setup_config)
+        self.mesh = None  # built after the dataset fixes the batch size
+
+        seed = self.setup_config.seed + jax.process_index()
+        np.random.seed(seed)
+        self.rng_key = jax.random.key(seed)
+
+        self.dtype = _DTYPES[self.setup_config.dtype]
+        self.compute_dtype = _DTYPES[self.setup_config.compute_dtype]
+
+        # Populated by subclasses.
+        self.model = None
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.schedule = None
+        self.train_loader = None
+        self.val_loader = None
+        self.test_loader = None
+
+        self.init_dataset(self.dataset_config)
+        self._init_mesh()
+        self.init_model(self.model_config)
+        self.init_optimizer(self.optimizer_config)
+
+        if jax.process_index() == 0:
+            self._print_model_stats()
+
+    def _init_mesh(self):
+        """Build the device mesh once the loaders fix the batch size: the
+        'data' axis must divide the batch, so data_parallel=-1 picks the
+        largest divisor supported by the available devices."""
+        loader = self.train_loader or self.test_loader
+        self.batch_size = loader.batch_size if loader else self.dataset_config.batch_size
+        mp = self.setup_config.model_parallel
+        dp = self.setup_config.data_parallel
+        if dp == -1:
+            avail = max(1, len(jax.devices()) // mp)
+            dp = max(d for d in range(1, avail + 1) if self.batch_size % d == 0)
+        elif self.batch_size % dp:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by data_parallel {dp}")
+        self.mesh = make_mesh(dp, mp)
+
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def init_dataset(self, dataset_config):
+        ...
+
+    @abstractmethod
+    def init_model(self, model_config):
+        ...
+
+    def init_optimizer(self, optimizer_config):
+        steps_per_epoch = max(1, len(self.train_loader) if self.train_loader else 1)
+        self.tx, self.schedule = make_optimizer(optimizer_config, steps_per_epoch)
+        self.opt_state = self.tx.init(self.params)
+
+    @abstractmethod
+    def train_step(self, batch) -> jax.Array:
+        """One optimization step; returns the (device) loss scalar."""
+
+    @abstractmethod
+    def validate(self, loader) -> float:
+        ...
+
+    @abstractmethod
+    def test(self):
+        ...
+
+    # ------------------------------------------------------------------
+    def _print_model_stats(self):
+        leaves = jax.tree.leaves(self.params)
+        nparams = sum(int(p.size) for p in leaves)
+        nbytes = sum(int(p.size * p.dtype.itemsize) for p in leaves)
+        print(f"Number of parameters: {nparams}")
+        self.datarow["nparams"] = nparams
+        self.datarow["nbytes"] = nbytes
+
+    def _next_rng(self) -> jax.Array:
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
+
+    def place_batch(self, batch: Dict) -> Dict:
+        return shard_batch(batch, self.mesh, self.batch_size)
+
+    def replicate_params(self):
+        self.params = shard_params(self.params, self.mesh)
+
+    # ------------------------------------------------------------------
+    def fit(self, verbose: bool = True):
+        """Training loop: per-epoch jitted steps, periodic validation,
+        best-model tracking, checkpoint, loss plots, final test
+        (reference base_trainer.py:196-225 + optimizers.py:236-305)."""
+        args = self.optimizer_config.args
+        eval_every = args.eval_every_eps
+        early_metric = args.early_save_metric.lower()
+        best_loss, best_epoch, best_params = np.inf, -1, None
+        losses, epochs, val_losses, val_epochs = [], [], [], []
+
+        num_batches = len(self.train_loader)
+        start = time.perf_counter()
+        samples_done = 0
+        for epoch in range(args.epoch):
+            epoch_losses = []
+            for batch in self.train_loader:
+                epoch_losses.append(self.train_step(batch))
+                samples_done += int(np.sum(batch["sample_mask"]))
+            if (epoch + 1) % eval_every == 0:
+                train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                val_loss = self.validate(self.val_loader)
+                losses.append(train_loss)
+                epochs.append(epoch)
+                val_losses.append(val_loss)
+                val_epochs.append(epoch)
+                current = val_loss if early_metric == "val" else train_loss
+                if current < best_loss:
+                    best_loss, best_epoch = current, epoch
+                    best_params = self.params  # immutable pytree — cheap snapshot
+                if verbose:
+                    print(f"epoch {epoch + 1}/{args.epoch} "
+                          f"loss {train_loss:.3e} val {val_loss:.3e}")
+        jax.block_until_ready(self.params)
+        elapsed = time.perf_counter() - start
+
+        if best_params is not None:
+            self.params = best_params
+        self.datarow["training time"] = elapsed
+        self.datarow["samples_per_sec"] = samples_done / elapsed if elapsed else 0.0
+        if verbose:
+            print(f"training time {elapsed:.1f}s "
+                  f"({self.datarow['samples_per_sec']:.1f} samples/s)")
+
+        self.save_ckpt()
+        if losses:
+            os.makedirs(os.path.dirname(self.path_config.loss_path) or ".",
+                        exist_ok=True)
+            plot_losses(self.path_config.loss_path, epochs, losses,
+                        val_epochs, val_losses, best_epoch, best_loss)
+        self.test()
+
+    # ------------------------------------------------------------------
+    def save_ckpt(self):
+        save_checkpoint(self.path_config.ckpt_path, self.params,
+                        opt_state=self.opt_state)
+        return self
+
+    def load_ckpt(self):
+        restored = restore_checkpoint(self.path_config.ckpt_path, self.params)
+        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        if "opt_state" in restored and self.opt_state is not None:
+            self.opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                jax.tree.leaves(restored["opt_state"]))
+        return self

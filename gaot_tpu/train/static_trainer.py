@@ -1,0 +1,280 @@
+"""Trainer for static (time-independent) problems.
+
+Equivalent of the reference StaticTrainer (src/trainer/static_trainer.py:16-366)
+for both coordinate modes:
+- fx: one shared graph pair per scale, simple (c, u) batches;
+- vx: per-sample padded graphs stacked in the batch, node masks in the loss.
+
+The train/eval steps are jitted once; every batch has identical shapes
+(loader pads the final batch and provides a sample mask), so there are no
+recompiles across the whole run.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.data_processor import DataProcessor
+from ..data.graph_builder import GraphBuilder
+from ..data.loader import make_static_fx_loader, make_static_vx_loader
+from ..models import GAOT
+from ..ops.padding import PaddedGraph
+from ..utils.metrics import compute_batch_errors, compute_final_metric
+from ..utils.plotting import plot_estimates
+from .base_trainer import BaseTrainer
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray,
+               sample_mask: jnp.ndarray,
+               node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """MSE over valid (sample, node) entries; matches nn.MSELoss mean
+    semantics on unpadded data."""
+    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    w = sample_mask.astype(jnp.float32)[:, None, None]
+    if node_mask is not None:
+        w = w * node_mask.astype(jnp.float32)[..., None]
+    w = jnp.broadcast_to(w, err.shape)
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class StaticTrainer(BaseTrainer):
+    def __init__(self, config, datarow: Optional[Dict] = None):
+        self.data_processor: Optional[DataProcessor] = None
+        self.coord_mode: Optional[str] = None
+        self.coord_dim: Optional[int] = None
+        self.latent_tokens_coord = None
+        self.coord = None                 # fx-mode model coordinates
+        self.enc_graphs: Optional[List[PaddedGraph]] = None  # fx mode
+        self.dec_graphs: Optional[List[PaddedGraph]] = None
+        self.vx_graphs = None             # vx mode: dict split -> VxSplitGraphs
+        self._train_fn = None
+        self._eval_fn = None
+        super().__init__(config, datarow)
+
+    # ------------------------------------------------------------------
+    def init_dataset(self, dataset_config):
+        self.data_processor = DataProcessor(dataset_config, self.metadata,
+                                            dtype=np.float32)
+        splits, is_vx = self.data_processor.load_and_process_data()
+        self.coord_mode = "vx" if is_vx else "fx"
+
+        latent = self.data_processor.generate_latent_queries(
+            tuple(self.model_config.latent_tokens_size))
+        self.latent_tokens_coord = jnp.asarray(latent)
+
+        self.coord_dim = splits["train"]["x"].shape[-1]
+        c_sample = splits["train"]["c"]
+        if c_sample is None:
+            raise ValueError(
+                "Static training requires condition features 'c' as model input")
+        self.num_input_channels = c_sample.shape[-1]
+        self.num_output_channels = splits["train"]["u"].shape[-1]
+
+        magno = self.model_config.args.magno
+        builder = GraphBuilder(method=magno.neighbor_search_method,
+                               pad_multiple=magno.neighbor_pad_multiple,
+                               neighbor_cap=magno.neighbor_cap)
+        cfg = dataset_config
+        if is_vx:
+            self.vx_graphs = builder.build_all_vx_graphs(
+                splits, latent, magno.radius, magno.scales,
+                build_train=self.setup_config.train,
+                model_transform=self.data_processor.coord_scaler)
+            loaders = {}
+            for name in ["train", "val", "test"]:
+                g = self.vx_graphs[name]
+                if g is None:
+                    loaders[name] = None
+                    continue
+                loaders[name] = make_static_vx_loader(
+                    splits[name]["c"], splits[name]["u"], g, cfg.batch_size,
+                    shuffle=(cfg.shuffle and name == "train"),
+                    seed=self.setup_config.seed)
+        else:
+            coord = self.data_processor.coord_scaler(splits["train"]["x"])
+            self.coord = jnp.asarray(coord.astype(np.float32))
+            enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
+                                               magno.scales)
+            to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
+            self.enc_graphs = [to_dev(g) for g in enc]
+            self.dec_graphs = [to_dev(g) for g in dec]
+            loaders = {
+                name: make_static_fx_loader(
+                    splits[name]["c"], splits[name]["u"], cfg.batch_size,
+                    shuffle=(cfg.shuffle and name == "train"),
+                    seed=self.setup_config.seed)
+                for name in ["train", "val", "test"]
+            }
+        self.train_loader = loaders["train"]
+        self.val_loader = loaders["val"]
+        self.test_loader = loaders["test"]
+
+    # ------------------------------------------------------------------
+    def init_model(self, model_config):
+        model_config.args.magno.coord_dim = self.coord_dim
+        self.model = GAOT(
+            input_size=self.num_input_channels,
+            output_size=self.num_output_channels,
+            config=model_config,
+            dtype=self.compute_dtype,
+        )
+        batch = next(iter(self.test_loader))
+        args = self._model_args(batch)
+        self.params = self.model.init(self._next_rng(), self.latent_tokens_coord,
+                                      *args)
+        self.replicate_params()
+
+    def _batch_graphs(self, batch: Dict):
+        """Reassemble per-scale PaddedGraphs from a (vx) batch dict."""
+        num_scales = len(self.model_config.args.magno.scales)
+        enc = [PaddedGraph(batch[f"enc_idx_{s}"], batch[f"enc_mask_{s}"])
+               for s in range(num_scales)]
+        dec = [PaddedGraph(batch[f"dec_idx_{s}"], batch[f"dec_mask_{s}"])
+               for s in range(num_scales)]
+        return enc, dec
+
+    def _model_args(self, batch: Dict):
+        """(xcoord, pndata, enc_graphs, dec_graphs) for a placed batch."""
+        if self.coord_mode == "fx":
+            return (self.coord, batch["c"], self.enc_graphs, self.dec_graphs)
+        enc, dec = self._batch_graphs(batch)
+        return (batch["x"], batch["c"], enc, dec)
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, tx = self.model, self.tx
+        latent = self.latent_tokens_coord
+        vx = self.coord_mode == "vx"
+
+        def forward(params, coord, pndata, enc, dec, rng, training):
+            rngs = {"edge_drop": rng, "dropout": rng} if training else None
+            return model.apply(params, latent, coord, pndata, enc, dec,
+                               training=training, rngs=rngs)
+
+        # Note: params are NOT donated — fit() keeps best-params snapshots by
+        # reference, which donation would invalidate.
+        @partial(jax.jit, donate_argnums=(1,))
+        def train_fn(params, opt_state, rng, coord, pndata, target,
+                     sample_mask, node_mask, enc, dec):
+            def loss_fn(p):
+                pred = forward(p, coord, pndata, enc, dec, rng, True)
+                return masked_mse(pred, target, sample_mask, node_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_fn(params, coord, pndata, target, sample_mask, node_mask,
+                    enc, dec):
+            pred = forward(params, coord, pndata, enc, dec, None, False)
+            return pred, masked_mse(pred, target, sample_mask, node_mask)
+
+        self._train_fn, self._eval_fn = train_fn, eval_fn
+
+    def _step_args(self, batch):
+        coord, pndata, enc, dec = self._model_args(batch)
+        node_mask = batch.get("node_mask")
+        return coord, pndata, batch["u"], batch["sample_mask"], node_mask, enc, dec
+
+    def train_step(self, batch) -> jax.Array:
+        if self._train_fn is None:
+            self._build_steps()
+        batch = self.place_batch(batch)
+        coord, pndata, target, sm, nm, enc, dec = self._step_args(batch)
+        self.params, self.opt_state, loss = self._train_fn(
+            self.params, self.opt_state, self._next_rng(), coord, pndata,
+            target, sm, nm, enc, dec)
+        return loss
+
+    def validate(self, loader) -> float:
+        if loader is None:
+            return 0.0
+        if self._eval_fn is None:
+            self._build_steps()
+        total, count = 0.0, 0
+        for batch in loader:
+            batch = self.place_batch(batch)
+            _, loss = self._eval_fn(self.params, *self._step_args(batch))
+            total += float(loss)
+            count += 1
+        return total / max(count, 1)
+
+    # ------------------------------------------------------------------
+    def test(self):
+        """Relative-L1 metric over the test split + result plot
+        (reference static_trainer.py:267-320)."""
+        if self._eval_fn is None:
+            self._build_steps()
+        dp = self.data_processor
+        u_mean, u_std = dp.u_mean, dp.u_std
+        all_errors = []
+        last = None
+        for batch in self.test_loader:
+            placed = self.place_batch(batch)
+            pred, _ = self._eval_fn(self.params, *self._step_args(placed))
+            pred = np.asarray(pred, dtype=np.float64)
+            target = np.asarray(batch["u"], dtype=np.float64)
+            keep = np.asarray(batch["sample_mask"])
+            pred_denorm = pred[keep] * u_std + u_mean
+            target_denorm = target[keep] * u_std + u_mean
+            node_mask = batch.get("node_mask")
+            if node_mask is not None:
+                # Padded nodes must contribute 0 to both the error numerator
+                # and the |gt| denominator of the relative-L1 metric: fill
+                # both tensors with the metric's global mean there.
+                active = list(self.metadata.active_variables)
+                gmean = np.asarray(self.metadata.global_mean)[active].reshape(1, 1, -1)
+                valid = node_mask[keep][..., None]
+                pred_denorm = np.where(valid, pred_denorm, gmean)
+                target_denorm = np.where(valid, target_denorm, gmean)
+            errs = compute_batch_errors(target_denorm[:, None], pred_denorm[:, None],
+                                        self.metadata)
+            all_errors.append(errs)
+            last = (batch, pred_denorm, target_denorm)
+        final_metric = compute_final_metric(np.concatenate(all_errors, axis=0))
+        self.datarow["relative error (direct)"] = final_metric
+        print(f"Relative error: {final_metric}")
+        self._plot_test_example(last)
+        return final_metric
+
+    def _plot_test_example(self, last):
+        if last is None:
+            return
+        batch, pred_denorm, target_denorm = last
+        dp = self.data_processor
+        try:
+            if self.coord_mode == "fx":
+                coords = dp.coord_scaler.inverse_transform(np.asarray(self.coord))
+            else:
+                coords = dp.coord_scaler.inverse_transform(np.asarray(batch["x"][-1]))
+            c = batch.get("c")
+            if c is not None and dp.c_mean is not None:
+                c_denorm = np.asarray(c[-1]) * dp.c_std + dp.c_mean
+            else:
+                c_denorm = None
+            fig = plot_estimates(
+                u_inp=c_denorm,
+                u_gtr=target_denorm[-1],
+                u_prd=pred_denorm[-1],
+                x_inp=coords,
+                names=self.metadata.names.get("c"),
+                symmetric=self.metadata.signed["u"],
+                domain=self.metadata.domain_x,
+            )
+            os.makedirs(os.path.dirname(self.path_config.result_path) or ".",
+                        exist_ok=True)
+            fig.savefig(self.path_config.result_path, dpi=200,
+                        bbox_inches="tight", pad_inches=0.1)
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+            print(f"Plot saved to {self.path_config.result_path}")
+        except Exception as e:  # plotting must never fail a run
+            print(f"Warning: could not create result plot: {e}")
