@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship workload.
+
+Measures end-to-end training throughput (forward + backward + AdamW update)
+of the GAOT model at the reference's Poisson-Gauss scale
+(config/examples/time_indep/poisson_gauss.json: 8k+ scattered nodes,
+64x64 latent grid, patch 2, transformer hidden 256, batch 64) on the
+available accelerator, and prints ONE JSON line:
+
+    {"metric": "train_throughput", "value": N, "unit": "samples/sec/chip",
+     "vs_baseline": R}
+
+vs_baseline compares against bench_baseline.json if present (written by a
+previous round); otherwise 1.0.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gaot_tpu.core.config import ModelConfig, OptimizerConfig, merge_config
+    from gaot_tpu.data.graph_builder import GraphBuilder
+    from gaot_tpu.models import GAOT
+    from gaot_tpu.ops.padding import PaddedGraph
+    from gaot_tpu.train.schedules import make_optimizer
+    from gaot_tpu.train.static_trainer import masked_mse
+
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (num_nodes, 2)).astype(np.float32)
+    axes = [np.linspace(-1, 1, latent[0]), np.linspace(-1, 1, latent[1])]
+    lat = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 2).astype(np.float32)
+
+    model_cfg = merge_config(ModelConfig, {
+        "latent_tokens_size": list(latent),
+        "args": {
+            "magno": {"coord_dim": 2, "radius": 0.033, "hidden_size": 64,
+                      "mlp_layers": 3, "lifting_channels": 64},
+            "transformer": {"patch_size": 2, "hidden_size": 256, "num_layers": 3},
+        },
+    })
+    builder = GraphBuilder()
+    t0 = time.perf_counter()
+    enc, dec = builder.build_fx_graphs(coords, lat, 0.033, [1.0])
+    log(f"graph build: {time.perf_counter() - t0:.2f}s "
+        f"enc K={enc[0].k} dec K={dec[0].k}")
+    to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
+    enc = [to_dev(g) for g in enc]
+    dec = [to_dev(g) for g in dec]
+
+    model = GAOT(input_size=1, output_size=1, config=model_cfg)
+    latent_j = jnp.asarray(lat)
+    coords_j = jnp.asarray(coords)
+    pndata = jnp.asarray(rng.normal(size=(batch_size, num_nodes, 1)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(batch_size, num_nodes, 1)).astype(np.float32))
+    mask = jnp.ones((batch_size,), dtype=bool)
+
+    t0 = time.perf_counter()
+    params = model.init(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
+    log(f"init: {time.perf_counter() - t0:.2f}s, "
+        f"params={sum(p.size for p in jax.tree.leaves(params))}")
+
+    opt_cfg = merge_config(OptimizerConfig, {
+        "name": "adamw",
+        "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": 1000},
+    })
+    tx, _ = make_optimizer(opt_cfg, steps_per_epoch=32)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, rng_key, pndata, target):
+        def loss_fn(p):
+            pred = model.apply(p, latent_j, coords_j, pndata, enc, dec,
+                               training=True, rngs={"edge_drop": rng_key})
+            return masked_mse(pred, target, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, params, opt_state, pndata, target
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", 64))
+    num_nodes = int(os.environ.get("BENCH_NODES", 8192))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    train_step, params, opt_state, pndata, target = build_workload(
+        batch_size=batch_size, num_nodes=num_nodes)
+
+    key = jax.random.key(1)
+    t0 = time.perf_counter()
+    for i in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state, key, pndata, target)
+    jax.block_until_ready(loss)
+    log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, key, pndata, target)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    sps = batch_size * iters / elapsed
+    log(f"{iters} steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
+        f"loss={float(loss):.4f}")
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = sps / float(base["value"])
+
+    print(json.dumps({
+        "metric": "train_throughput",
+        "value": round(sps, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
