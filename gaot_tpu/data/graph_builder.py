@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..ops.neighbor_search import radius_search
+from ..ops.neighbor_search import knn_search, radius_search
 from ..ops.padding import PaddedGraph, pad_csr, repad, stack_graphs
 from ..utils.scaling import rescale
 
@@ -42,17 +42,35 @@ class VxSplitGraphs:
 
 
 class GraphBuilder:
-    """Builds padded radius graphs on the host (optionally multi-threaded —
+    """Builds padded radius/kNN graphs on the host (optionally multi-threaded —
     the native C++ search releases the GIL inside its worker threads)."""
 
     def __init__(self, method: str = "auto", pad_multiple: int = 8,
                  neighbor_cap: Optional[int] = None, node_pad_multiple: int = 64,
-                 workers: Optional[int] = None):
+                 workers: Optional[int] = None, strategy: str = "radius",
+                 knn_k: int = 16):
+        if strategy not in ("radius", "knn"):
+            raise ValueError(f"Unknown neighbor strategy: {strategy}")
         self.method = method
         self.pad_multiple = pad_multiple
         self.neighbor_cap = neighbor_cap
         self.node_pad_multiple = node_pad_multiple
         self.workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+        self.strategy = strategy
+        self.knn_k = knn_k
+
+    def _search(self, data: np.ndarray, queries: np.ndarray, radius: float,
+                scale: float = 1.0):
+        """Radius or kNN search per the configured strategy (the reference's
+        MAGNOConfig.neighbor_strategy, src/model/layers/magno.py:59). For
+        'knn' the multi-scale factor multiplies k instead of the radius."""
+        if self.strategy == "knn":
+            k = max(1, int(round(self.knn_k * scale)))
+            return knn_search(data, queries, k, method=self.method)
+        return radius_search(data, queries, radius * scale, method=self.method)
+
+    def _pad(self, csr):
+        return pad_csr(*csr, pad_multiple=self.pad_multiple, cap=self.neighbor_cap)
 
     # -- fx ------------------------------------------------------------
     def build_fx_graphs(self, x_coord: np.ndarray, latent_queries: np.ndarray,
@@ -60,15 +78,8 @@ class GraphBuilder:
         """One (encoder, decoder) padded graph pair per scale."""
         encoder, decoder = [], []
         for s in scales:
-            r = radius * s
-            encoder.append(pad_csr(*radius_search(x_coord, latent_queries, r,
-                                                  method=self.method),
-                                   pad_multiple=self.pad_multiple,
-                                   cap=self.neighbor_cap))
-            decoder.append(pad_csr(*radius_search(latent_queries, x_coord, r,
-                                                  method=self.method),
-                                   pad_multiple=self.pad_multiple,
-                                   cap=self.neighbor_cap))
+            encoder.append(self._pad(self._search(x_coord, latent_queries, radius, s)))
+            decoder.append(self._pad(self._search(latent_queries, x_coord, radius, s)))
         return encoder, decoder
 
     # -- vx ------------------------------------------------------------
@@ -99,15 +110,8 @@ class GraphBuilder:
                        else x).astype(np.float32)
             enc, dec = [], []
             for s in scales:
-                r = radius * s
-                enc.append(pad_csr(*radius_search(x, latent_queries, r,
-                                                  method=self.method),
-                                   pad_multiple=self.pad_multiple,
-                                   cap=self.neighbor_cap))
-                dg = pad_csr(*radius_search(latent_queries, x, r,
-                                            method=self.method),
-                             pad_multiple=self.pad_multiple,
-                             cap=self.neighbor_cap)
+                enc.append(self._pad(self._search(x, latent_queries, radius, s)))
+                dg = self._pad(self._search(latent_queries, x, radius, s))
                 # Pad decoder query rows (one per physical node) to n_pad.
                 pad_rows = n_pad - dg.indices.shape[0]
                 dec.append(PaddedGraph(
@@ -135,6 +139,80 @@ class GraphBuilder:
                    for s in range(num_scales)]
         return VxSplitGraphs(coords=coords, node_mask=node_mask,
                              encoder=encoder, decoder=decoder)
+
+    # -- disk cache (CachedGraphBuilder equivalent, reference
+    # graph_builder.py:177-285) --------------------------------------------
+    def _cache_path(self, cache_dir: str, dataset: str, radius: float,
+                    scales: Sequence[float], num_samples: Dict[str, int]) -> str:
+        import hashlib
+        import json
+
+        key = json.dumps({
+            "dataset": dataset, "radius": radius, "scales": list(scales),
+            "strategy": self.strategy, "knn_k": self.knn_k,
+            "pad": self.pad_multiple, "cap": self.neighbor_cap,
+            "node_pad": self.node_pad_multiple, "samples": num_samples,
+        }, sort_keys=True)
+        digest = hashlib.sha1(key.encode()).hexdigest()[:16]
+        return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
+
+    def build_all_vx_graphs_cached(self, cache_dir: str, dataset: str,
+                                   data_splits: Dict, latent_queries: np.ndarray,
+                                   radius: float, scales: Sequence[float],
+                                   build_train: bool = True,
+                                   model_transform=None):
+        """build_all_vx_graphs with an on-disk npz cache."""
+        counts = {s: int(len(data_splits[s]["x"])) for s in data_splits
+                  if data_splits[s].get("x") is not None}
+        path = self._cache_path(cache_dir, dataset, radius, scales, counts)
+        if os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                out = {}
+                for split in ["train", "val", "test"]:
+                    if f"{split}_coords" not in z:
+                        out[split] = None
+                        continue
+                    num_scales = len(scales)
+                    out[split] = VxSplitGraphs(
+                        coords=z[f"{split}_coords"],
+                        node_mask=z[f"{split}_node_mask"],
+                        encoder=[PaddedGraph(z[f"{split}_enc_idx_{i}"],
+                                             z[f"{split}_enc_mask_{i}"])
+                                 for i in range(num_scales)],
+                        decoder=[PaddedGraph(z[f"{split}_dec_idx_{i}"],
+                                             z[f"{split}_dec_mask_{i}"])
+                                 for i in range(num_scales)],
+                    )
+                return out
+        out = self.build_all_vx_graphs(data_splits, latent_queries, radius,
+                                       scales, build_train=build_train,
+                                       model_transform=model_transform)
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = {}
+        for split, g in out.items():
+            if g is None:
+                continue
+            payload[f"{split}_coords"] = g.coords
+            payload[f"{split}_node_mask"] = g.node_mask
+            for i, (e, d) in enumerate(zip(g.encoder, g.decoder)):
+                payload[f"{split}_enc_idx_{i}"] = e.indices
+                payload[f"{split}_enc_mask_{i}"] = e.mask
+                payload[f"{split}_dec_idx_{i}"] = d.indices
+                payload[f"{split}_dec_mask_{i}"] = d.mask
+        np.savez(path, **payload)
+        return out
+
+    @classmethod
+    def from_magno_config(cls, magno) -> "GraphBuilder":
+        """Builder configured from a MAGNOConfig (search method, padding,
+        neighbor strategy; kNN k falls back to max_neighbors or 16)."""
+        return cls(
+            method=magno.neighbor_search_method,
+            pad_multiple=magno.neighbor_pad_multiple,
+            neighbor_cap=magno.neighbor_cap,
+            strategy=magno.neighbor_strategy,
+            knn_k=magno.max_neighbors or 16,
+        )
 
     def build_all_vx_graphs(self, data_splits: Dict, latent_queries: np.ndarray,
                             radius: float, scales: Sequence[float],

@@ -86,9 +86,7 @@ class SequentialTrainer(BaseTrainer):
             self.num_input_channels -= 1
 
         magno = self.model_config.args.magno
-        builder = GraphBuilder(method=magno.neighbor_search_method,
-                               pad_multiple=magno.neighbor_pad_multiple,
-                               neighbor_cap=magno.neighbor_cap)
+        builder = GraphBuilder.from_magno_config(magno)
         if is_vx:
             raise NotImplementedError(
                 "vx-mode sequential training pipeline lands with the vx "

@@ -77,9 +77,7 @@ class StaticTrainer(BaseTrainer):
         self.num_output_channels = splits["train"]["u"].shape[-1]
 
         magno = self.model_config.args.magno
-        builder = GraphBuilder(method=magno.neighbor_search_method,
-                               pad_multiple=magno.neighbor_pad_multiple,
-                               neighbor_cap=magno.neighbor_cap)
+        builder = GraphBuilder.from_magno_config(magno)
         cfg = dataset_config
         if is_vx:
             self.vx_graphs = builder.build_all_vx_graphs(

@@ -1,0 +1,134 @@
+"""Data pipeline tests: readers, processors, loaders, graph builder."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synthetic import make_sequential_fx_dataset, make_static_fx_dataset  # noqa: E402
+
+from gaot_tpu.core.config import DatasetConfig, merge_config  # noqa: E402
+from gaot_tpu.core.metadata import DATASET_METADATA  # noqa: E402
+from gaot_tpu.data import (  # noqa: E402
+    BatchLoader,
+    DataProcessor,
+    GraphBuilder,
+    compute_sequential_stats,
+    generate_time_pairs,
+    read_dataset,
+)
+
+
+def test_npz_reader(tmp_path):
+    make_static_fx_dataset(str(tmp_path / "toy.npz"), num_samples=4, num_nodes=10)
+    out = read_dataset(str(tmp_path), "toy", ["u", "c", "x", "missing"])
+    assert out["u"].shape == (4, 1, 10, 1)
+    assert out["c"].shape == (4, 1, 10, 1)
+    assert out["missing"] is None
+
+
+def test_h5_nc_reader(tmp_path):
+    import h5py
+
+    with h5py.File(tmp_path / "toy.nc", "w") as f:
+        f["u"] = np.ones((3, 1, 5, 2), np.float32)
+        f["x"] = np.zeros((1, 1, 5, 2), np.float32)
+    out = read_dataset(str(tmp_path), "toy", ["u", "c", "x"])
+    assert out["u"].shape == (3, 1, 5, 2)
+    assert out["c"] is None
+
+
+def test_data_processor_normalization(tmp_path):
+    make_static_fx_dataset(str(tmp_path / "toy.npz"), num_samples=24, num_nodes=32)
+    cfg = merge_config(DatasetConfig, {
+        "name": "toy", "metaname": "elliptic_pdes/Poisson-Gauss",
+        "base_path": str(tmp_path), "train_size": 16, "val_size": 4,
+        "test_size": 4})
+    proc = DataProcessor(cfg, DATASET_METADATA[cfg.metaname])
+    splits, is_vx = proc.load_and_process_data()
+    assert not is_vx
+    u_tr = splits["train"]["u"]
+    np.testing.assert_allclose(u_tr.reshape(-1, 1).mean(), 0, atol=1e-5)
+    np.testing.assert_allclose(u_tr.reshape(-1, 1).std(), 1, atol=1e-3)
+    # val/test normalized with TRAIN stats (not their own)
+    assert abs(splits["val"]["u"].mean()) < 1.0
+    # latent queries span [-1, 1]
+    lat = proc.generate_latent_queries((8, 8))
+    assert lat.shape == (64, 2)
+    assert lat.min() == -1.0 and lat.max() == 1.0
+
+
+def test_batch_loader_padding_and_mask():
+    data = np.arange(10, dtype=np.float32)
+    loader = BatchLoader(10, 4, lambda idx: {"x": data[idx]})
+    batches = list(loader)
+    assert len(batches) == 3
+    assert all(b["x"].shape == (4,) for b in batches)
+    assert batches[-1]["sample_mask"].sum() == 2  # 10 = 4+4+2
+    total_valid = sum(b["sample_mask"].sum() for b in batches)
+    assert total_valid == 10
+
+
+def test_batch_loader_shuffle_deterministic():
+    loader = BatchLoader(8, 4, lambda idx: {"i": idx.copy()}, shuffle=True, seed=1)
+    e1 = [b["i"].tolist() for b in loader]
+    e2 = [b["i"].tolist() for b in loader]
+    assert e1 != e2  # different epochs reshuffle
+    flat = sorted(x for b in e1 for x in b)
+    assert flat == list(range(8))
+
+
+def test_generate_time_pairs_reference_grid():
+    """15 timesteps, stride 2 → lags {2,4,...,14}: 7+6+5+4+3+2+1 = 28 pairs."""
+    t_in, t_out = generate_time_pairs(14, 2)
+    assert len(t_in) == 28
+    lags = t_out - t_in
+    assert set(lags) == {2, 4, 6, 8, 10, 12, 14}
+    assert (t_in % 2 == 0).all()
+
+
+def test_sequential_stats_shapes():
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(6, 15, 20, 2)).astype(np.float32)
+    t = np.linspace(0, 1, 15)
+    stats = compute_sequential_stats(u, None, t, max_time_diff=14, time_step=2)
+    for key in ["u", "start_time", "time_diffs", "res", "der"]:
+        assert key in stats
+    assert stats["u"]["mean"].shape == (2,)
+    # derivative stats scale by 1/dt
+    dt = t[1] - t[0]
+    np.testing.assert_allclose(stats["der"]["std"], stats["res"]["std"] / dt,
+                               rtol=1e-5)
+
+
+def test_vx_graph_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (4, 1, 40, 2)).astype(np.float32)
+    lat = np.stack(np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-1, 1, 4),
+                               indexing="ij"), -1).reshape(-1, 2)
+    splits = {"train": {"x": x[:2]}, "val": {"x": x[2:3]}, "test": {"x": x[3:]}}
+    builder = GraphBuilder()
+    g1 = builder.build_all_vx_graphs_cached(
+        str(tmp_path), "toy", splits, lat, 0.4, [1.0])
+    g2 = builder.build_all_vx_graphs_cached(
+        str(tmp_path), "toy", splits, lat, 0.4, [1.0])
+    for split in ["train", "val", "test"]:
+        np.testing.assert_array_equal(g1[split].coords, g2[split].coords)
+        np.testing.assert_array_equal(g1[split].encoder[0].indices,
+                                      g2[split].encoder[0].indices)
+    # different radius → different cache entry
+    g3 = builder.build_all_vx_graphs_cached(
+        str(tmp_path), "toy", splits, lat, 0.6, [1.0])
+    assert g3["train"].encoder[0].mask.sum() > g1["train"].encoder[0].mask.sum()
+
+
+def test_knn_strategy_builder():
+    rng = np.random.default_rng(1)
+    coords = rng.uniform(-1, 1, (100, 2))
+    lat = rng.uniform(-1, 1, (30, 2))
+    builder = GraphBuilder(strategy="knn", knn_k=5, pad_multiple=1)
+    enc, dec = builder.build_fx_graphs(coords, lat, radius=0.0, scales=[1.0, 2.0])
+    assert (enc[0].mask.sum(-1) == 5).all()
+    assert (enc[1].mask.sum(-1) == 10).all()  # scale multiplies k
+    assert (dec[0].mask.sum(-1) == 5).all()
