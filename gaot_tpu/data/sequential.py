@@ -183,10 +183,21 @@ class DynamicPairBatcher:
     def __init__(self, u_data: np.ndarray, c_data: Optional[np.ndarray],
                  t_values: np.ndarray, max_time_diff: int, time_step: int,
                  stepper_mode: str, stats: Dict, use_time_norm: bool = True,
-                 x_data: Optional[np.ndarray] = None):
+                 x_data: Optional[np.ndarray] = None, graphs=None):
+        """``graphs`` (a VxSplitGraphs) switches on vx mode: per-sample padded
+        graphs/coords/node-masks are emitted with each batch, and u/c are
+        node-padded to the graphs' N_pad."""
+        if graphs is not None:
+            n_pad = graphs.coords.shape[1]
+            pad = n_pad - u_data.shape[2]
+            if pad > 0:
+                u_data = np.pad(u_data, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                if c_data is not None:
+                    c_data = np.pad(c_data, ((0, 0), (0, 0), (0, pad), (0, 0)))
         self.u = u_data
         self.c = c_data
         self.x = x_data
+        self.graphs = graphs
         self.stats = stats
         self.stepper_mode = stepper_mode
 
@@ -246,7 +257,9 @@ class DynamicPairBatcher:
 
         batch = {"input": inputs.astype(self.u.dtype),
                  "target": target.astype(self.u.dtype)}
-        if self.x is not None:
+        if self.graphs is not None:
+            _attach_vx_graphs(batch, self.graphs, s_idx)
+        elif self.x is not None:
             batch["x"] = self.x[s_idx, t_in]
         return batch
 
@@ -263,10 +276,18 @@ class RolloutTestBatcher:
 
     def __init__(self, u_data: np.ndarray, c_data: Optional[np.ndarray],
                  time_indices: np.ndarray, stats: Dict,
-                 x_data: Optional[np.ndarray] = None):
+                 x_data: Optional[np.ndarray] = None, graphs=None):
+        if graphs is not None:
+            n_pad = graphs.coords.shape[1]
+            pad = n_pad - u_data.shape[2]
+            if pad > 0:
+                u_data = np.pad(u_data, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                if c_data is not None:
+                    c_data = np.pad(c_data, ((0, 0), (0, 0), (0, pad), (0, 0)))
         self.u = u_data
         self.c = c_data
         self.x = x_data
+        self.graphs = graphs
         self.time_indices = np.asarray(time_indices)
         self.stats = stats
         self.num_samples = u_data.shape[0]
@@ -291,6 +312,21 @@ class RolloutTestBatcher:
             "input": np.concatenate(feats, -1).astype(self.u.dtype),
             "target": self.u[idx][:, self.time_indices[1:]],    # [B, T-1, N, V]
         }
-        if self.x is not None:
+        if self.graphs is not None:
+            _attach_vx_graphs(batch, self.graphs, idx)
+        elif self.x is not None:
             batch["x"] = self.x[idx, t0]
         return batch
+
+
+def _attach_vx_graphs(batch: Dict, graphs, sample_idx: np.ndarray) -> None:
+    """Attach per-sample padded graph arrays (same keys as the static vx
+    loader, data/loader.py)."""
+    batch["x"] = graphs.coords[sample_idx]
+    batch["node_mask"] = graphs.node_mask[sample_idx]
+    for s, g in enumerate(graphs.encoder):
+        batch[f"enc_idx_{s}"] = g.indices[sample_idx]
+        batch[f"enc_mask_{s}"] = g.mask[sample_idx]
+    for s, g in enumerate(graphs.decoder):
+        batch[f"dec_idx_{s}"] = g.indices[sample_idx]
+        batch[f"dec_mask_{s}"] = g.mask[sample_idx]

@@ -130,7 +130,10 @@ class GAOT(nn.Module):
 
         positions = patch_positions(self.grid_shape, self.patch_size)
         embed_dim = self.patch_volume * self.node_latent_size
-        self.pos_emb = jnp.asarray(absolute_embeddings(positions, embed_dim))
+        # Host constant (NumPy, not jnp): setup may run under different traces
+        # when the module is bound and reused; a device array created here
+        # would leak tracers across jit boundaries.
+        self.pos_emb = absolute_embeddings(positions, embed_dim)
 
     def encode(self, x_coord, pndata, latent_tokens_coord, encoder_graphs,
                training=False):
@@ -145,7 +148,7 @@ class GAOT(nn.Module):
         tokens = self.patch_linear(tokens)
         use_rope = self.positional_embedding == "rope"
         if not use_rope:
-            tokens = tokens + self.pos_emb.astype(tokens.dtype)
+            tokens = tokens + jnp.asarray(self.pos_emb, dtype=tokens.dtype)
         tokens = self.processor(tokens, condition=condition, use_rope=use_rope,
                                 deterministic=not training)
         return unpatchify(tokens, self.grid_shape, self.patch_size, c)

@@ -53,6 +53,7 @@ class SequentialTrainer(BaseTrainer):
         self.coord = None
         self.enc_graphs = None
         self.dec_graphs = None
+        self.vx_graphs = None
         self.stats = None
         self.t_values = None
         self.splits = None
@@ -88,15 +89,28 @@ class SequentialTrainer(BaseTrainer):
         magno = self.model_config.args.magno
         builder = GraphBuilder.from_magno_config(magno)
         if is_vx:
-            raise NotImplementedError(
-                "vx-mode sequential training pipeline lands with the vx "
-                "rollout datasets; static vx is supported")
-        coord = self.data_processor.coord_scaler(splits["train"]["x"])
-        self.coord = jnp.asarray(coord.astype(np.float32))
-        enc, dec = builder.build_fx_graphs(coord, latent, magno.radius, magno.scales)
-        to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
-        self.enc_graphs = [to_dev(g) for g in enc]
-        self.dec_graphs = [to_dev(g) for g in dec]
+            # Per-sample graphs from each sample's t=0 coordinates (vx
+            # sequential datasets keep the mesh fixed over the trajectory;
+            # the reference's vx-sequential graph path is unimplemented,
+            # src/trainer/sequential_trainer.py:341-347).
+            graph_splits = {
+                name: {"x": splits[name]["x"][:, 0]
+                       if splits[name]["x"].ndim == 4 else splits[name]["x"]}
+                for name in ["train", "val", "test"]
+            }
+            self.vx_graphs = builder.build_all_vx_graphs(
+                graph_splits, latent, magno.radius, magno.scales,
+                build_train=self.setup_config.train,
+                model_transform=self.data_processor.coord_scaler)
+        else:
+            self.vx_graphs = None
+            coord = self.data_processor.coord_scaler(splits["train"]["x"])
+            self.coord = jnp.asarray(coord.astype(np.float32))
+            enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
+                                               magno.scales)
+            to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
+            self.enc_graphs = [to_dev(g) for g in enc]
+            self.dec_graphs = [to_dev(g) for g in dec]
 
         cfg = dataset_config
         loaders = {}
@@ -105,7 +119,8 @@ class SequentialTrainer(BaseTrainer):
                 u_data=splits[name]["u"], c_data=splits[name]["c"],
                 t_values=splits[name]["t"], max_time_diff=cfg.max_time_diff,
                 time_step=cfg.time_step, stepper_mode=cfg.stepper_mode,
-                stats=self.stats, use_time_norm=cfg.use_time_norm)
+                stats=self.stats, use_time_norm=cfg.use_time_norm,
+                graphs=self.vx_graphs[name] if is_vx else None)
             loaders[name] = make_sequential_loader(
                 batcher, cfg.batch_size,
                 shuffle=(cfg.shuffle and name == "train"),
@@ -125,10 +140,24 @@ class SequentialTrainer(BaseTrainer):
         )
         batch = next(iter(self.test_loader))
         pndata, cond = self._split_input(jnp.asarray(batch["input"]))
+        coord, enc, dec, _ = self._graph_args(batch)
         self.params = self.model.init(
-            self._next_rng(), self.latent_tokens_coord, self.coord, pndata,
-            self.enc_graphs, self.dec_graphs, condition=cond)
+            self._next_rng(), self.latent_tokens_coord, coord, pndata,
+            enc, dec, condition=cond)
         self.replicate_params()
+
+    def _graph_args(self, batch):
+        """(coord, enc_graphs, dec_graphs, node_mask) for a batch."""
+        if self.coord_mode == "fx":
+            return self.coord, self.enc_graphs, self.dec_graphs, None
+        num_scales = len(self.model_config.args.magno.scales)
+        enc = [PaddedGraph(jnp.asarray(batch[f"enc_idx_{s}"]),
+                           jnp.asarray(batch[f"enc_mask_{s}"]))
+               for s in range(num_scales)]
+        dec = [PaddedGraph(jnp.asarray(batch[f"dec_idx_{s}"]),
+                           jnp.asarray(batch[f"dec_mask_{s}"]))
+               for s in range(num_scales)]
+        return jnp.asarray(batch["x"]), enc, dec, jnp.asarray(batch["node_mask"])
 
     def _split_input(self, x):
         """Conditional-norm models consume the last time feature as the
@@ -141,11 +170,10 @@ class SequentialTrainer(BaseTrainer):
     # ------------------------------------------------------------------
     def _build_steps(self):
         model, tx = self.model, self.tx
-        latent, coord = self.latent_tokens_coord, self.coord
-        enc, dec = self.enc_graphs, self.dec_graphs
+        latent = self.latent_tokens_coord
         use_cond = self.model_config.use_conditional_norm
 
-        def forward(params, x, rng, training):
+        def forward(params, x, coord, enc, dec, rng, training):
             pndata = x[..., :-1] if use_cond else x
             cond = x[:, 0, -2:-1] if use_cond else None
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
@@ -153,10 +181,11 @@ class SequentialTrainer(BaseTrainer):
                                condition=cond, training=training, rngs=rngs)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def train_fn(params, opt_state, rng, x, target, sample_mask):
+        def train_fn(params, opt_state, rng, x, target, sample_mask,
+                     coord, enc, dec, node_mask):
             def loss_fn(p):
-                pred = forward(p, x, rng, True)
-                return masked_mse(pred, target, sample_mask)
+                pred = forward(p, x, coord, enc, dec, rng, True)
+                return masked_mse(pred, target, sample_mask, node_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -164,9 +193,9 @@ class SequentialTrainer(BaseTrainer):
             return params, opt_state, loss
 
         @jax.jit
-        def eval_fn(params, x, target, sample_mask):
-            pred = forward(params, x, None, False)
-            return masked_mse(pred, target, sample_mask)
+        def eval_fn(params, x, target, sample_mask, coord, enc, dec, node_mask):
+            pred = forward(params, x, coord, enc, dec, None, False)
+            return masked_mse(pred, target, sample_mask, node_mask)
 
         self._train_fn, self._eval_fn = train_fn, eval_fn
 
@@ -174,9 +203,11 @@ class SequentialTrainer(BaseTrainer):
         if self._train_fn is None:
             self._build_steps()
         batch = self.place_batch(batch)
+        coord, enc, dec, node_mask = self._graph_args(batch)
         self.params, self.opt_state, loss = self._train_fn(
             self.params, self.opt_state, self._next_rng(),
-            batch["input"], batch["target"], batch["sample_mask"])
+            batch["input"], batch["target"], batch["sample_mask"],
+            coord, enc, dec, node_mask)
         return loss
 
     def validate(self, loader) -> float:
@@ -187,8 +218,10 @@ class SequentialTrainer(BaseTrainer):
         total, count = 0.0, 0
         for batch in loader:
             batch = self.place_batch(batch)
+            coord, enc, dec, node_mask = self._graph_args(batch)
             total += float(self._eval_fn(self.params, batch["input"],
-                                         batch["target"], batch["sample_mask"]))
+                                         batch["target"], batch["sample_mask"],
+                                         coord, enc, dec, node_mask))
             count += 1
         return total / max(count, 1)
 
@@ -199,10 +232,11 @@ class SequentialTrainer(BaseTrainer):
             autoregressive_predict, model,
             time_indices=time_indices, t_values=self.t_values,
             stats=self.stats, stepper_mode=self.stepper_mode,
-            latent_tokens_coord=self.latent_tokens_coord, coord=self.coord,
-            encoder_graphs=self.enc_graphs, decoder_graphs=self.dec_graphs,
+            latent_tokens_coord=self.latent_tokens_coord,
             use_conditional_norm=self.model_config.use_conditional_norm)
-        return jax.jit(lambda params, x: roll(params, x_batch=x))
+        return jax.jit(lambda params, x, coord, enc, dec: roll(
+            params, x_batch=x, coord=coord, encoder_graphs=enc,
+            decoder_graphs=dec))
 
     def test(self):
         """Rollout evaluation over the configured predict modes
@@ -215,18 +249,29 @@ class SequentialTrainer(BaseTrainer):
         errors = {}
         example = None
 
+        vx = self.coord_mode == "vx"
         for mode in modes:
             time_indices = PREDICT_MODE_INDICES.get(mode, PREDICT_MODE_INDICES["autoregressive"])
             batcher = RolloutTestBatcher(test["u"], test["c"], time_indices,
-                                         self.stats)
+                                         self.stats,
+                                         graphs=self.vx_graphs["test"] if vx else None)
             loader = BatchLoader(len(batcher), cfg.batch_size, batcher.get_batch)
             rollout = self._rollout_fn(time_indices)
             all_errs = []
             for batch in loader:
-                pred = np.asarray(rollout(self.params, jnp.asarray(batch["input"])))
+                coord, enc, dec, node_mask = self._graph_args(batch)
+                pred = np.asarray(rollout(self.params, jnp.asarray(batch["input"]),
+                                          coord, enc, dec))
                 target = np.asarray(batch["target"], dtype=np.float64)
                 keep = np.asarray(batch["sample_mask"])
                 pred, target = pred[keep], target[keep]
+                if node_mask is not None:
+                    # Neutralize padded nodes in the relative-L1 metric.
+                    active = list(self.metadata.active_variables)
+                    gmean = np.asarray(self.metadata.global_mean)[active]
+                    valid = np.asarray(node_mask)[keep][:, None, :, None]
+                    pred = np.where(valid, pred, gmean)
+                    target = np.where(valid, target, gmean)
                 if metric_type == "final_step":
                     errs = compute_batch_errors(target[:, -1:], pred[:, -1:],
                                                 self.metadata)
@@ -236,11 +281,18 @@ class SequentialTrainer(BaseTrainer):
                     raise ValueError(f"Unknown metric: {metric_type}")
                 all_errs.append(errs)
                 if example is None:
+                    if vx:
+                        coords_plot = self.data_processor.coord_scaler.inverse_transform(
+                            np.asarray(batch["x"])[keep][-1])
+                    else:
+                        coords_plot = self.data_processor.coord_scaler.inverse_transform(
+                            np.asarray(self.coord))
                     example = {
                         "input": np.asarray(batch["input"])[keep][-1],
                         "gt_sequence": target[-1],
                         "pred_sequence": pred[-1],
                         "time_indices": time_indices,
+                        "coords": coords_plot,
                     }
             errors[mode] = compute_final_metric(np.concatenate(all_errs, 0))
             print(f"{mode} mode error: {errors[mode]}")
@@ -261,8 +313,7 @@ class SequentialTrainer(BaseTrainer):
 
     def _plot_results(self, example):
         try:
-            dp = self.data_processor
-            coords = dp.coord_scaler.inverse_transform(np.asarray(self.coord))
+            coords = example["coords"]
             u_dim = len(np.asarray(self.stats["u"]["mean"]))
             u_stats = self.stats["u"]
             inp = example["input"][..., :u_dim] * u_stats["std"] + u_stats["mean"]

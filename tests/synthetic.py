@@ -49,3 +49,21 @@ def make_sequential_fx_dataset(path: str, num_samples=16, num_nodes=100,
     np.savez(path, u=u, x=np.ascontiguousarray(
         np.broadcast_to(x, (1, 1, num_nodes, 2))))
     return path
+
+
+def make_sequential_vx_dataset(path: str, num_samples=10, num_nodes=80,
+                               num_timesteps=15, seed=0):
+    """Variable-coordinate time-dependent data: per-sample mesh fixed over
+    time, u [S, T, N, 1], c [S, T, N, 1]."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 1, (num_samples, num_nodes, 2)).astype(np.float32)
+    t = np.linspace(0, 1, num_timesteps)
+    amp = rng.normal(size=(num_samples, 1, 1, 1)).astype(np.float32)
+    spatial = np.sin(2 * np.pi * coords[..., :1])[:, None]      # [S,1,N,1]
+    u = (amp * np.cos(2 * np.pi * t[None, :, None, None]) * (0.5 + spatial)
+         ).astype(np.float32)
+    c = np.broadcast_to(spatial, u.shape).astype(np.float32)
+    x = np.broadcast_to(coords[:, None], (num_samples, num_timesteps,
+                                          num_nodes, 2)).astype(np.float32)
+    np.savez(path, u=u, c=np.ascontiguousarray(c), x=np.ascontiguousarray(x))
+    return path

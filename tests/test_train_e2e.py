@@ -165,3 +165,43 @@ def test_sequential_stepper_modes(tmp_path, stepper_mode):
     full = batcher.get_batch(np.arange(len(batcher)))
     assert abs(full["target"].mean()) < 1.0
     assert 0.1 < full["target"].std() < 10.0
+
+
+def test_sequential_trainer_vx_end_to_end(tmp_path):
+    """vx-mode sequential training + rollout (beyond the reference, whose vx
+    rollout raises NotImplementedError)."""
+    from gaot_tpu.core.metadata import DATASET_METADATA, Metadata
+    from gaot_tpu.train import SequentialTrainer
+    from synthetic import make_sequential_vx_dataset
+
+    metaname = "_test/seq_vx_toy"
+    DATASET_METADATA[metaname] = Metadata(
+        periodic=False, group_u="u", group_c="c", group_x="x", type="gaot",
+        domain_x=([0, 0], [1, 1]), domain_t=(0, 1), fix_x=False,
+        active_variables=[0], chunked_variables=[0], num_variable_chunks=1,
+        signed={"u": [True], "c": [True]},
+        names={"u": ["$u$"], "c": ["$c$"]},
+        global_mean=[0.0], global_std=[1.0],
+    )
+    try:
+        make_sequential_vx_dataset(str(tmp_path / "seq_vx_toy.npz"))
+        config = {
+            "setup": {"seed": 0, "trainer_name": "sequential", "train": True},
+            "model": TINY_MODEL,
+            "dataset": {
+                "name": "seq_vx_toy", "metaname": metaname,
+                "base_path": str(tmp_path),
+                "train_size": 6, "val_size": 2, "test_size": 2,
+                "batch_size": 4, "max_time_diff": 14, "time_step": 2,
+                "stepper_mode": "output", "predict_mode": "autoregressive",
+                "metric": "final_step",
+            },
+            "optimizer": {**TINY_OPT, "args": {**TINY_OPT["args"], "epoch": 2}},
+            "path": _paths(tmp_path, "seq_vx"),
+        }
+        trainer = SequentialTrainer(config)
+        assert trainer.coord_mode == "vx"
+        trainer.fit(verbose=False)
+        assert np.isfinite(trainer.datarow["relative error (autoregressive)"])
+    finally:
+        del DATASET_METADATA[metaname]
