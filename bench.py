@@ -25,7 +25,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0):
+def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
+                   compute_dtype="bfloat16", attn_backend="auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -47,7 +48,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0):
         "args": {
             "magno": {"coord_dim": 2, "radius": 0.033, "hidden_size": 64,
                       "mlp_layers": 3, "lifting_channels": 64},
-            "transformer": {"patch_size": 2, "hidden_size": 256, "num_layers": 3},
+            "transformer": {"patch_size": 2, "hidden_size": 256, "num_layers": 3,
+                            "attn_backend": attn_backend},
         },
     })
     builder = GraphBuilder()
@@ -59,7 +61,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0):
     enc = [to_dev(g) for g in enc]
     dec = [to_dev(g) for g in dec]
 
-    model = GAOT(input_size=1, output_size=1, config=model_cfg)
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[compute_dtype]
+    model = GAOT(input_size=1, output_size=1, config=model_cfg, dtype=dtype)
     latent_j = jnp.asarray(lat)
     coords_j = jnp.asarray(coords)
     pndata = jnp.asarray(rng.normal(size=(batch_size, num_nodes, 1)).astype(np.float32))
@@ -98,12 +101,16 @@ def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 8192))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    attn_backend = os.environ.get("BENCH_ATTN", "auto")
 
     import jax
 
     log(f"devices: {jax.devices()}")
+    log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
     train_step, params, opt_state, pndata, target = build_workload(
-        batch_size=batch_size, num_nodes=num_nodes)
+        batch_size=batch_size, num_nodes=num_nodes,
+        compute_dtype=compute_dtype, attn_backend=attn_backend)
 
     key = jax.random.key(1)
     t0 = time.perf_counter()

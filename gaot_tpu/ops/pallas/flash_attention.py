@@ -48,19 +48,43 @@ def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q: [B, S, H, D]; k, v: [B, S, Hkv, D] with H a multiple of Hkv.
     Returns [B, S, H, D]. Falls back to the XLA einsum path for shapes the
-    kernel doesn't cover.
+    kernel doesn't cover. Differentiable: forward runs the Pallas kernel,
+    backward recomputes through the XLA reference (flash backward kernel is
+    a follow-up).
     """
+    if not _supported(q.shape[1], q.shape[3]):
+        from ...models.transformer import gqa_attention_xla
+
+        return gqa_attention_xla(q, k, v)
+    return _flash_diff(q, k, v, min(q_block, q.shape[1]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, q_block):
+    return _flash_forward(q, k, v, q_block)
+
+
+def _flash_fwd_rule(q, k, v, q_block):
+    return _flash_forward(q, k, v, q_block), (q, k, v)
+
+
+def _flash_bwd_rule(q_block, residuals, g):
+    from ...models.transformer import gqa_attention_xla
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(gqa_attention_xla, q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   q_block: int) -> jnp.ndarray:
     b, s, h, d = q.shape
     hkv = k.shape[2]
     assert h % hkv == 0
     group = h // hkv
-
-    if not _supported(s, d):
-        from ...models.transformer import gqa_attention_xla
-
-        return gqa_attention_xla(q, k, v)
-
-    q_block = min(q_block, s)
     scale = 1.0 / (d ** 0.5)
 
     # Layout: heads-major so one program owns one (batch, head) slice.
