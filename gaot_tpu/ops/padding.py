@@ -116,3 +116,46 @@ def padded_from_search(search_result: dict, pad_multiple: int = 8,
         cap=cap,
         k=k,
     )
+
+
+class TransposeGraph(NamedTuple):
+    """Reverse adjacency of a PaddedGraph, for scatter-free backward passes.
+
+    For forward edges (q, k) → n = indices[q, k], stores for every source
+    node n its incoming edges:
+      edge_pos: int32 [N, Kt] — flat forward edge position q * K + k
+      query:    int32 [N, Kt] — the query q of that edge
+      mask:     bool  [N, Kt]
+    """
+
+    edge_pos: np.ndarray
+    query: np.ndarray
+    mask: np.ndarray
+
+    @property
+    def kt(self) -> int:
+        return self.edge_pos.shape[-1]
+
+
+def transpose_graph(graph: PaddedGraph, num_sources: int,
+                    pad_multiple: int = 8) -> TransposeGraph:
+    """Build the reverse adjacency of a padded graph on the host.
+
+    The forward graph's VJP w.r.t. gathered source features is a scatter-add;
+    with the transpose graph it becomes two gathers + a masked reduce —
+    XLA/TPU-friendly (no serialized scatter)."""
+    q, k = graph.indices.shape
+    flat_src = graph.indices.reshape(-1).astype(np.int64)
+    flat_mask = graph.mask.reshape(-1)
+    edge_ids = np.nonzero(flat_mask)[0]
+    srcs = flat_src[edge_ids]
+    order = np.argsort(srcs, kind="stable")
+    srcs_sorted = srcs[order]
+    edges_sorted = edge_ids[order]
+    counts = np.bincount(srcs_sorted, minlength=num_sources)
+    row_splits = np.zeros(num_sources + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_splits[1:])
+    padded = pad_csr(edges_sorted, row_splits, pad_multiple=pad_multiple)
+    queries = (padded.indices // k).astype(np.int32)
+    return TransposeGraph(edge_pos=padded.indices, query=queries,
+                          mask=padded.mask)
