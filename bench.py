@@ -34,7 +34,7 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     from gaot_tpu.core.config import ModelConfig, OptimizerConfig, merge_config
     from gaot_tpu.data.graph_builder import GraphBuilder
     from gaot_tpu.models import GAOT
-    from gaot_tpu.ops.padding import PaddedGraph
+    from gaot_tpu.ops.padding import PaddedGraph, transpose_graph
     from gaot_tpu.train.schedules import make_optimizer
     from gaot_tpu.train.static_trainer import masked_mse
 
@@ -55,6 +55,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     builder = GraphBuilder()
     t0 = time.perf_counter()
     enc, dec = builder.build_fx_graphs(coords, lat, 0.033, [1.0])
+    enc_t = [transpose_graph(g, num_nodes) for g in enc]
+    dec_t = [transpose_graph(g, lat.shape[0]) for g in dec]
     log(f"graph build: {time.perf_counter() - t0:.2f}s "
         f"enc K={enc[0].k} dec K={dec[0].k}")
     to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
@@ -85,7 +87,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     def train_step(params, opt_state, rng_key, pndata, target):
         def loss_fn(p):
             pred = model.apply(p, latent_j, coords_j, pndata, enc, dec,
-                               training=True, rngs={"edge_drop": rng_key})
+                               training=True, rngs={"edge_drop": rng_key},
+                               encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
             return masked_mse(pred, target, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -24,7 +24,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.padding import PaddedGraph
+from ..ops.gather_apply import apply_graph_transform
+from ..ops.padding import PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
 
@@ -74,7 +75,8 @@ class AGNO(nn.Module):
                  graph: PaddedGraph,
                  x: Optional[jnp.ndarray] = None,
                  f_y: Optional[jnp.ndarray] = None,
-                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 weights: Optional[jnp.ndarray] = None,
+                 tgraph: Optional[TransposeGraph] = None) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -83,6 +85,8 @@ class AGNO(nn.Module):
             x: [m, d2] query points (defaults to y).
             f_y: [batch, n, c] or [n, c] input function on y, or None.
             weights: [n] quadrature weights, or None.
+            tgraph: optional transpose graph — switches the k·f reduction to
+                the scatter-free custom-VJP path (ops/gather_apply.py).
 
         Returns:
             [batch, m, c_out] (batched f_y) or [m, c_out].
@@ -119,8 +123,27 @@ class AGNO(nn.Module):
 
         kernel = self.channel_mlp(agg)      # [Q, K, c] or [B, Q, K, c]
 
+        multiply_f = (f_y is not None
+                      and self.transform_type != "nonlinear_kernelonly")
+
+        if multiply_f and tgraph is not None:
+            # Scatter-free path: fold attention / mean weights / quadrature
+            # weights and the padding mask into a per-edge coefficient, then
+            # one gather-multiply-reduce with a transpose-graph backward.
+            coef = kernel
+            if attention is not None:
+                coef = coef * attention[..., None]
+            if weights is not None:
+                coef = coef * weights[indices][..., None]
+            elif attention is None:  # mean reduce
+                counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+                coef = coef / counts[..., None]
+            coef = jnp.where(mask[..., None] if coef.ndim == 3
+                             else mask[None, ..., None], coef, 0)
+            return apply_graph_transform(coef, f_y, graph, tgraph)
+
         out = kernel
-        if f_y is not None and self.transform_type != "nonlinear_kernelonly":
+        if multiply_f:
             out = out * in_features if out.ndim == in_features.ndim else \
                 out[None] * in_features                          # [B, Q, K, c]
 

@@ -136,9 +136,9 @@ class GAOT(nn.Module):
         self.pos_emb = absolute_embeddings(positions, embed_dim)
 
     def encode(self, x_coord, pndata, latent_tokens_coord, encoder_graphs,
-               training=False):
+               training=False, tgraphs=None):
         return self.encoder(x_coord, pndata, latent_tokens_coord,
-                            encoder_graphs, training=training)
+                            encoder_graphs, training=training, tgraphs=tgraphs)
 
     def process(self, rndata: jnp.ndarray, condition: Optional[jnp.ndarray] = None,
                 training: bool = False) -> jnp.ndarray:
@@ -154,9 +154,9 @@ class GAOT(nn.Module):
         return unpatchify(tokens, self.grid_shape, self.patch_size, c)
 
     def decode(self, latent_tokens_coord, rndata, query_coord, decoder_graphs,
-               training=False):
+               training=False, tgraphs=None):
         return self.decoder(latent_tokens_coord, rndata, query_coord,
-                            decoder_graphs, training=training)
+                            decoder_graphs, training=training, tgraphs=tgraphs)
 
     def __call__(self,
                  latent_tokens_coord: jnp.ndarray,
@@ -166,7 +166,9 @@ class GAOT(nn.Module):
                  decoder_graphs: Sequence[PaddedGraph],
                  query_coord: Optional[jnp.ndarray] = None,
                  condition: Optional[jnp.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False,
+                 encoder_tgraphs=None,
+                 decoder_tgraphs=None) -> jnp.ndarray:
         """Forward pass (reference src/model/gaot.py:248-305).
 
         latent_tokens_coord: [Q, d]; xcoord: [N, d] or [B, N, d];
@@ -174,9 +176,11 @@ class GAOT(nn.Module):
         query_coord: defaults to xcoord. Returns [B, M, Cout].
         """
         rndata = self.encode(xcoord, pndata, latent_tokens_coord,
-                             encoder_graphs, training=training)
+                             encoder_graphs, training=training,
+                             tgraphs=encoder_tgraphs)
         rndata = self.process(rndata, condition=condition, training=training)
         if query_coord is None:
             query_coord = xcoord
         return self.decode(latent_tokens_coord, rndata, query_coord,
-                           decoder_graphs, training=training)
+                           decoder_graphs, training=training,
+                           tgraphs=decoder_tgraphs)

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from ..core.config import MAGNOConfig
 from ..ops.edge_drop import apply_edge_drop_mask
-from ..ops.padding import PaddedGraph
+from ..ops.padding import PaddedGraph, TransposeGraph
 from .agno import AGNO
 from .gemb import GeometricEmbedding, node_pos_encode
 from .mlp import ChannelMLP, SimpleMLP
@@ -45,6 +45,24 @@ def flatten_vx_graph(graph: PaddedGraph, num_sources: int) -> PaddedGraph:
     indices = (graph.indices + offsets).reshape(b * q, k)
     mask = graph.mask.reshape(b * q, k)
     return PaddedGraph(indices=indices, mask=mask)
+
+
+def flatten_vx_tgraph(tgraph: TransposeGraph, num_queries: int,
+                      k: int) -> TransposeGraph:
+    """Offset per-sample transpose graphs into the flattened edge space.
+
+    tgraph: [B, S, Kt] built per sample against per-sample forward graphs
+    [num_queries, k]. In the flattened graph sample b's edges occupy flat
+    positions b·num_queries·k + (q·k + j) and queries b·num_queries + q.
+    """
+    b, s, kt = tgraph.edge_pos.shape
+    e_off = (jnp.arange(b, dtype=tgraph.edge_pos.dtype) * (num_queries * k))[:, None, None]
+    q_off = (jnp.arange(b, dtype=tgraph.query.dtype) * num_queries)[:, None, None]
+    return TransposeGraph(
+        edge_pos=(tgraph.edge_pos + e_off).reshape(b * s, kt),
+        query=(tgraph.query + q_off).reshape(b * s, kt),
+        mask=tgraph.mask.reshape(b * s, kt),
+    )
 
 
 class _MAGNOBase(nn.Module):
@@ -105,7 +123,8 @@ class _MAGNOBase(nn.Module):
                     f_src: jnp.ndarray,
                     graph: PaddedGraph,
                     training: bool,
-                    num_samples: int) -> jnp.ndarray:
+                    num_samples: int,
+                    tgraph: Optional[TransposeGraph] = None) -> jnp.ndarray:
         """One scale: AGNO transform + optional geometric embedding + recovery.
 
         src_coords [n, d], dst_coords [m, d], f_src [batch, n, c] (fx) or
@@ -120,7 +139,8 @@ class _MAGNOBase(nn.Module):
         else:
             src_proc, dst_proc = src_coords, dst_coords
 
-        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src)
+        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
+                        tgraph=tgraph)
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples)
@@ -165,14 +185,17 @@ class MAGNOEncoder(_MAGNOBase):
                  pndata: jnp.ndarray,
                  latent_tokens_coord: jnp.ndarray,
                  graphs: Sequence[PaddedGraph],
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False,
+                 tgraphs: Optional[Sequence[TransposeGraph]] = None) -> jnp.ndarray:
         """x_coord: [N, d] (fx) or [B, N, d] (vx); pndata: [B, N, Cin];
         latent_tokens_coord: [Q, d]; graphs: per-scale PaddedGraphs —
-        [Q, K] (fx) or [B, Q, K] (vx). Returns [B, Q, Cout]."""
+        [Q, K] (fx) or [B, Q, K] (vx); tgraphs: optional per-scale transpose
+        graphs for the scatter-free backward. Returns [B, Q, Cout]."""
         cfg = self.config
         vx = x_coord.ndim == 3
         batch = pndata.shape[0]
         q = latent_tokens_coord.shape[0]
+        tgraphs = tgraphs or [None] * len(graphs)
 
         lifted = self.lifting(pndata)                    # [B, N, C]
 
@@ -182,17 +205,19 @@ class MAGNOEncoder(_MAGNOBase):
             dst_coords = jnp.tile(latent_tokens_coord, (batch, 1))
             f_src = lifted.reshape(batch * n, -1)        # 2D f_y → shared path
             per_scale = []
-            for graph in graphs:
+            for graph, tg in zip(graphs, tgraphs):
                 flat = flatten_vx_graph(graph, n)
+                flat_t = flatten_vx_tgraph(tg, q, graph.k) if tg is not None else None
                 enc = self._agno_scale(src_coords, dst_coords, f_src, flat,
-                                       training, num_samples=batch)
+                                       training, num_samples=batch,
+                                       tgraph=flat_t)
                 per_scale.append(enc.reshape(batch, q, -1))
             return self._combine_scales(per_scale, latent_tokens_coord)
 
         per_scale = [
             self._agno_scale(x_coord, latent_tokens_coord, lifted, graph,
-                             training, num_samples=1)
-            for graph in graphs
+                             training, num_samples=1, tgraph=tg)
+            for graph, tg in zip(graphs, tgraphs)
         ]
         return self._combine_scales(per_scale, latent_tokens_coord)
 
@@ -216,13 +241,15 @@ class MAGNODecoder(_MAGNOBase):
                  rndata: jnp.ndarray,
                  query_coord: jnp.ndarray,
                  graphs: Sequence[PaddedGraph],
-                 training: bool = False) -> jnp.ndarray:
+                 training: bool = False,
+                 tgraphs: Optional[Sequence[TransposeGraph]] = None) -> jnp.ndarray:
         """latent_tokens_coord: [Q, d]; rndata: [B, Q, C]; query_coord:
         [M, d] (fx) or [B, M, d] (vx); graphs: [M, K] (fx) or [B, M, K] (vx).
         Returns [B, M, Cout]."""
         vx = query_coord.ndim == 3
         batch = rndata.shape[0]
         q = latent_tokens_coord.shape[0]
+        tgraphs = tgraphs or [None] * len(graphs)
 
         if vx:
             m = query_coord.shape[1]
@@ -230,10 +257,12 @@ class MAGNODecoder(_MAGNOBase):
             dst_coords = query_coord.reshape(batch * m, -1)
             f_src = rndata.reshape(batch * q, -1)
             per_scale = []
-            for graph in graphs:
+            for graph, tg in zip(graphs, tgraphs):
                 flat = flatten_vx_graph(graph, q)
+                flat_t = flatten_vx_tgraph(tg, m, graph.k) if tg is not None else None
                 dec = self._agno_scale(src_coords, dst_coords, f_src, flat,
-                                       training, num_samples=batch)
+                                       training, num_samples=batch,
+                                       tgraph=flat_t)
                 per_scale.append(dec.reshape(batch, m, -1))
             # Scale weights from each sample's own query coords (the reference
             # reuses the first sample's coords for the whole batch,
@@ -243,8 +272,8 @@ class MAGNODecoder(_MAGNOBase):
         else:
             per_scale = [
                 self._agno_scale(latent_tokens_coord, query_coord, rndata, graph,
-                                 training, num_samples=1)
-                for graph in graphs
+                                 training, num_samples=1, tgraph=tg)
+                for graph, tg in zip(graphs, tgraphs)
             ]
             combined = self._combine_scales(per_scale, query_coord)
 

@@ -30,7 +30,7 @@ from ..data.sequential import (
 )
 from ..models import GAOT
 from ..models.rollout import autoregressive_predict
-from ..ops.padding import PaddedGraph
+from ..ops.padding import PaddedGraph, transpose_graph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import create_sequential_animation, plot_estimates
 from .base_trainer import BaseTrainer
@@ -53,6 +53,8 @@ class SequentialTrainer(BaseTrainer):
         self.coord = None
         self.enc_graphs = None
         self.dec_graphs = None
+        self.enc_tgraphs = None
+        self.dec_tgraphs = None
         self.vx_graphs = None
         self.stats = None
         self.t_values = None
@@ -108,6 +110,9 @@ class SequentialTrainer(BaseTrainer):
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
+            num_nodes, num_latent = coord.shape[0], latent.shape[0]
+            self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
+            self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
             to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
             self.enc_graphs = [to_dev(g) for g in enc]
             self.dec_graphs = [to_dev(g) for g in dec]
@@ -173,12 +178,15 @@ class SequentialTrainer(BaseTrainer):
         latent = self.latent_tokens_coord
         use_cond = self.model_config.use_conditional_norm
 
+        enc_t, dec_t = self.enc_tgraphs, self.dec_tgraphs
+
         def forward(params, x, coord, enc, dec, rng, training):
             pndata = x[..., :-1] if use_cond else x
             cond = x[:, 0, -2:-1] if use_cond else None
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
             return model.apply(params, latent, coord, pndata, enc, dec,
-                               condition=cond, training=training, rngs=rngs)
+                               condition=cond, training=training, rngs=rngs,
+                               encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
 
         @partial(jax.jit, donate_argnums=(1,))
         def train_fn(params, opt_state, rng, x, target, sample_mask,

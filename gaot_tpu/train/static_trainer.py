@@ -24,7 +24,7 @@ from ..data.data_processor import DataProcessor
 from ..data.graph_builder import GraphBuilder
 from ..data.loader import make_static_fx_loader, make_static_vx_loader
 from ..models import GAOT
-from ..ops.padding import PaddedGraph
+from ..ops.padding import PaddedGraph, transpose_graph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import plot_estimates
 from .base_trainer import BaseTrainer
@@ -52,6 +52,8 @@ class StaticTrainer(BaseTrainer):
         self.coord = None                 # fx-mode model coordinates
         self.enc_graphs: Optional[List[PaddedGraph]] = None  # fx mode
         self.dec_graphs: Optional[List[PaddedGraph]] = None
+        self.enc_tgraphs = None   # transpose graphs (scatter-free backward)
+        self.dec_tgraphs = None
         self.vx_graphs = None             # vx mode: dict split -> VxSplitGraphs
         self._train_fn = None
         self._eval_fn = None
@@ -99,6 +101,9 @@ class StaticTrainer(BaseTrainer):
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
+            num_nodes, num_latent = coord.shape[0], latent.shape[0]
+            self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
+            self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
             to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
             self.enc_graphs = [to_dev(g) for g in enc]
             self.dec_graphs = [to_dev(g) for g in dec]
@@ -150,10 +155,13 @@ class StaticTrainer(BaseTrainer):
         latent = self.latent_tokens_coord
         vx = self.coord_mode == "vx"
 
+        enc_t, dec_t = self.enc_tgraphs, self.dec_tgraphs
+
         def forward(params, coord, pndata, enc, dec, rng, training):
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
             return model.apply(params, latent, coord, pndata, enc, dec,
-                               training=training, rngs=rngs)
+                               training=training, rngs=rngs,
+                               encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
 
         # Note: params are NOT donated — fit() keeps best-params snapshots by
         # reference, which donation would invalidate.

@@ -83,3 +83,50 @@ def test_jit_and_vmap_compatible():
     g, t, coef, f = _setup()
     out = jax.jit(lambda c, x: apply_graph_transform(c, x, g, t))(coef, f)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gaot_with_tgraphs_matches_without():
+    """Full model forward/grad parity with and without transpose graphs."""
+    from gaot_tpu.core.config import ModelConfig, merge_config
+    from gaot_tpu.models import GAOT
+
+    rng = np.random.default_rng(5)
+    n, b = 60, 2
+    coords = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    lat = np.stack(np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8),
+                               indexing="ij"), -1).reshape(-1, 2).astype(np.float32)
+    enc = pad_csr(*radius_search(coords, lat, 0.35))
+    dec = pad_csr(*radius_search(lat, coords, 0.35))
+    enc_t = transpose_graph(enc, n)
+    dec_t = transpose_graph(dec, 64)
+    to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
+    enc_j, dec_j = [to_dev(enc)], [to_dev(dec)]
+
+    cfg = merge_config(ModelConfig, {
+        "latent_tokens_size": [8, 8],
+        "args": {"magno": {"coord_dim": 2, "radius": 0.35, "hidden_size": 8,
+                           "mlp_layers": 1, "lifting_channels": 8},
+                 "transformer": {"patch_size": 2, "hidden_size": 16,
+                                 "num_layers": 2,
+                                 "attn_config": {"num_heads": 2,
+                                                 "num_kv_heads": 2}}},
+    })
+    model = GAOT(input_size=3, output_size=2, config=cfg)
+    pndata = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), jnp.asarray(lat), jnp.asarray(coords),
+                        pndata, enc_j, dec_j)
+
+    def loss(p, use_t):
+        out = model.apply(p, jnp.asarray(lat), jnp.asarray(coords), pndata,
+                          enc_j, dec_j,
+                          encoder_tgraphs=[enc_t] if use_t else None,
+                          decoder_tgraphs=[dec_t] if use_t else None)
+        return jnp.sum(out ** 2)
+
+    l0, l1 = float(loss(params, False)), float(loss(params, True))
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
