@@ -26,7 +26,8 @@ def log(*a):
 
 
 def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
-                   compute_dtype="bfloat16", attn_backend="auto"):
+                   compute_dtype="bfloat16", attn_backend="auto",
+                   use_tgraph=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -55,8 +56,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     builder = GraphBuilder()
     t0 = time.perf_counter()
     enc, dec = builder.build_fx_graphs(coords, lat, 0.033, [1.0])
-    enc_t = [transpose_graph(g, num_nodes) for g in enc]
-    dec_t = [transpose_graph(g, lat.shape[0]) for g in dec]
+    enc_t = [transpose_graph(g, num_nodes) for g in enc] if use_tgraph else None
+    dec_t = [transpose_graph(g, lat.shape[0]) for g in dec] if use_tgraph else None
     log(f"graph build: {time.perf_counter() - t0:.2f}s "
         f"enc K={enc[0].k} dec K={dec[0].k}")
     to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
@@ -106,6 +107,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     attn_backend = os.environ.get("BENCH_ATTN", "auto")
+    use_tgraph = os.environ.get("BENCH_TGRAPH", "0") == "1"
 
     import jax
 
@@ -113,7 +115,8 @@ def main():
     log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
     train_step, params, opt_state, pndata, target = build_workload(
         batch_size=batch_size, num_nodes=num_nodes,
-        compute_dtype=compute_dtype, attn_backend=attn_backend)
+        compute_dtype=compute_dtype, attn_backend=attn_backend,
+        use_tgraph=use_tgraph)
 
     key = jax.random.key(1)
     t0 = time.perf_counter()

@@ -21,7 +21,15 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..ops.neighbor_search import knn_search, radius_search
-from ..ops.padding import PaddedGraph, pad_csr, repad, stack_graphs
+from ..ops.padding import (
+    PaddedGraph,
+    TransposeGraph,
+    pad_csr,
+    repad,
+    stack_graphs,
+    stack_tgraphs,
+    transpose_graph,
+)
 from ..utils.scaling import rescale
 
 SENTINEL = 10.0  # padded-node coordinate: farther than any radius in [-1,1] space
@@ -39,6 +47,8 @@ class VxSplitGraphs:
     node_mask: np.ndarray       # [S, N_pad] True for real nodes
     encoder: List[PaddedGraph]  # per scale, stacked [S, Q, K_enc]
     decoder: List[PaddedGraph]  # per scale, stacked [S, N_pad, K_dec]
+    encoder_t: Optional[List[TransposeGraph]] = None  # per scale [S, N_pad, Kt]
+    decoder_t: Optional[List[TransposeGraph]] = None  # per scale [S, Q, Kt]
 
 
 class GraphBuilder:
@@ -217,7 +227,8 @@ class GraphBuilder:
     def build_all_vx_graphs(self, data_splits: Dict, latent_queries: np.ndarray,
                             radius: float, scales: Sequence[float],
                             build_train: bool = True,
-                            model_transform=None) -> Dict[str, Optional[VxSplitGraphs]]:
+                            model_transform=None,
+                            with_transpose: bool = False) -> Dict[str, Optional[VxSplitGraphs]]:
         """Build vx graphs for every split with unified shapes across splits
         (single XLA compilation for train/val/test)."""
         split_names = ["test"] + (["train", "val"] if build_train else [])
@@ -243,4 +254,35 @@ class GraphBuilder:
                 for g in built:
                     g.encoder[si] = repad(g.encoder[si], k_enc)
                     g.decoder[si] = repad(g.decoder[si], k_dec)
+            if with_transpose:
+                # Per-sample transpose graphs (scatter-free backward), built
+                # from the K-unified stacks so flat edge positions are final.
+                attach_transpose_graphs(built, latent_queries.shape[0], len(scales))
         return out
+
+
+def attach_transpose_graphs(built: List[VxSplitGraphs], q_lat: int,
+                            num_scales: int) -> None:
+    """Attach per-sample transpose graphs (Kt unified across splits)."""
+    from ..ops.padding import repad_tgraph
+
+    for g in built:
+        n_pad_g = g.coords.shape[1]
+        g.encoder_t = [
+            stack_tgraphs([
+                transpose_graph(PaddedGraph(e.indices[i], e.mask[i]), n_pad_g)
+                for i in range(e.indices.shape[0])])
+            for e in g.encoder
+        ]
+        g.decoder_t = [
+            stack_tgraphs([
+                transpose_graph(PaddedGraph(d.indices[i], d.mask[i]), q_lat)
+                for i in range(d.indices.shape[0])])
+            for d in g.decoder
+        ]
+    for si in range(num_scales):
+        kt_enc = max(g.encoder_t[si].kt for g in built)
+        kt_dec = max(g.decoder_t[si].kt for g in built)
+        for g in built:
+            g.encoder_t[si] = repad_tgraph(g.encoder_t[si], kt_enc)
+            g.decoder_t[si] = repad_tgraph(g.decoder_t[si], kt_dec)

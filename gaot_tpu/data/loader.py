@@ -109,6 +109,11 @@ def make_static_vx_loader(c: Optional[np.ndarray], u: np.ndarray,
         for s, g in enumerate(graphs.decoder):
             batch[f"dec_idx_{s}"] = g.indices[idx]
             batch[f"dec_mask_{s}"] = g.mask[idx]
+        for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
+            for s, t in enumerate(tgs or []):
+                batch[f"{prefix}_tpos_{s}"] = t.edge_pos[idx]
+                batch[f"{prefix}_tq_{s}"] = t.query[idx]
+                batch[f"{prefix}_tmask_{s}"] = t.mask[idx]
         return batch
 
     return BatchLoader(len(u), batch_size, get_batch, shuffle=shuffle, seed=seed)

@@ -330,3 +330,8 @@ def _attach_vx_graphs(batch: Dict, graphs, sample_idx: np.ndarray) -> None:
     for s, g in enumerate(graphs.decoder):
         batch[f"dec_idx_{s}"] = g.indices[sample_idx]
         batch[f"dec_mask_{s}"] = g.mask[sample_idx]
+    for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
+        for s, t in enumerate(tgs or []):
+            batch[f"{prefix}_tpos_{s}"] = t.edge_pos[sample_idx]
+            batch[f"{prefix}_tq_{s}"] = t.query[sample_idx]
+            batch[f"{prefix}_tmask_{s}"] = t.mask[sample_idx]

@@ -36,6 +36,8 @@ def autoregressive_predict(
     encoder_graphs: Sequence,
     decoder_graphs: Sequence,
     use_conditional_norm: bool = False,
+    encoder_tgraphs: Sequence = None,
+    decoder_tgraphs: Sequence = None,
 ) -> jnp.ndarray:
     """Roll the model forward over ``time_indices``.
 
@@ -101,11 +103,15 @@ def autoregressive_predict(
             pred = model.apply(
                 params, latent_tokens_coord, coord, x_input[..., :-1],
                 encoder_graphs, decoder_graphs,
-                condition=x_input[:, 0, -2:-1], training=False)
+                condition=x_input[:, 0, -2:-1], training=False,
+                encoder_tgraphs=encoder_tgraphs,
+                decoder_tgraphs=decoder_tgraphs)
         else:
             pred = model.apply(
                 params, latent_tokens_coord, coord, x_input,
-                encoder_graphs, decoder_graphs, training=False)
+                encoder_graphs, decoder_graphs, training=False,
+                encoder_tgraphs=encoder_tgraphs,
+                decoder_tgraphs=decoder_tgraphs)
 
         # Stepper-mode denormalization (reference gaot.py:454-472).
         if stepper_mode == "output":

@@ -159,3 +159,28 @@ def transpose_graph(graph: PaddedGraph, num_sources: int,
     queries = (padded.indices // k).astype(np.int32)
     return TransposeGraph(edge_pos=padded.indices, query=queries,
                           mask=padded.mask)
+
+
+def repad_tgraph(tgraph: TransposeGraph, kt: int) -> TransposeGraph:
+    """Re-pad (or truncate) a transpose graph to an exact Kt."""
+    old = tgraph.edge_pos.shape[-1]
+    if old == kt:
+        return tgraph
+    if old > kt:
+        return TransposeGraph(tgraph.edge_pos[..., :kt], tgraph.query[..., :kt],
+                              tgraph.mask[..., :kt])
+    pad = [(0, 0)] * (tgraph.edge_pos.ndim - 1) + [(0, kt - old)]
+    return TransposeGraph(
+        np.pad(tgraph.edge_pos, pad), np.pad(tgraph.query, pad),
+        np.pad(tgraph.mask, pad, constant_values=False))
+
+
+def stack_tgraphs(tgraphs: Sequence[TransposeGraph]) -> TransposeGraph:
+    """Stack per-sample transpose graphs to [B, S, Kt] (re-padded to max Kt)."""
+    kt = max(t.kt for t in tgraphs)
+    tgraphs = [repad_tgraph(t, kt) for t in tgraphs]
+    return TransposeGraph(
+        edge_pos=np.stack([t.edge_pos for t in tgraphs]),
+        query=np.stack([t.query for t in tgraphs]),
+        mask=np.stack([t.mask for t in tgraphs]),
+    )

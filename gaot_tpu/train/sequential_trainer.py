@@ -30,7 +30,7 @@ from ..data.sequential import (
 )
 from ..models import GAOT
 from ..models.rollout import autoregressive_predict
-from ..ops.padding import PaddedGraph, transpose_graph
+from ..ops.padding import PaddedGraph, TransposeGraph, transpose_graph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import create_sequential_animation, plot_estimates
 from .base_trainer import BaseTrainer
@@ -103,16 +103,18 @@ class SequentialTrainer(BaseTrainer):
             self.vx_graphs = builder.build_all_vx_graphs(
                 graph_splits, latent, magno.radius, magno.scales,
                 build_train=self.setup_config.train,
-                model_transform=self.data_processor.coord_scaler)
+                model_transform=self.data_processor.coord_scaler,
+                with_transpose=magno.use_transpose_backward)
         else:
             self.vx_graphs = None
             coord = self.data_processor.coord_scaler(splits["train"]["x"])
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
-            num_nodes, num_latent = coord.shape[0], latent.shape[0]
-            self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
-            self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
+            if magno.use_transpose_backward:
+                num_nodes, num_latent = coord.shape[0], latent.shape[0]
+                self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
+                self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
             to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
             self.enc_graphs = [to_dev(g) for g in enc]
             self.dec_graphs = [to_dev(g) for g in dec]
@@ -145,16 +147,17 @@ class SequentialTrainer(BaseTrainer):
         )
         batch = next(iter(self.test_loader))
         pndata, cond = self._split_input(jnp.asarray(batch["input"]))
-        coord, enc, dec, _ = self._graph_args(batch)
+        coord, enc, dec, _, _, _ = self._graph_args(batch)
         self.params = self.model.init(
             self._next_rng(), self.latent_tokens_coord, coord, pndata,
             enc, dec, condition=cond)
         self.replicate_params()
 
     def _graph_args(self, batch):
-        """(coord, enc_graphs, dec_graphs, node_mask) for a batch."""
+        """(coord, enc, dec, node_mask, enc_t, dec_t) for a batch."""
         if self.coord_mode == "fx":
-            return self.coord, self.enc_graphs, self.dec_graphs, None
+            return (self.coord, self.enc_graphs, self.dec_graphs, None,
+                    self.enc_tgraphs, self.dec_tgraphs)
         num_scales = len(self.model_config.args.magno.scales)
         enc = [PaddedGraph(jnp.asarray(batch[f"enc_idx_{s}"]),
                            jnp.asarray(batch[f"enc_mask_{s}"]))
@@ -162,7 +165,23 @@ class SequentialTrainer(BaseTrainer):
         dec = [PaddedGraph(jnp.asarray(batch[f"dec_idx_{s}"]),
                            jnp.asarray(batch[f"dec_mask_{s}"]))
                for s in range(num_scales)]
-        return jnp.asarray(batch["x"]), enc, dec, jnp.asarray(batch["node_mask"])
+
+        def tg(prefix, s):
+            key = f"{prefix}_tpos_{s}"
+            if key not in batch:
+                return None
+            return TransposeGraph(jnp.asarray(batch[key]),
+                                  jnp.asarray(batch[f"{prefix}_tq_{s}"]),
+                                  jnp.asarray(batch[f"{prefix}_tmask_{s}"]))
+
+        enc_t = [tg("enc", s) for s in range(num_scales)]
+        dec_t = [tg("dec", s) for s in range(num_scales)]
+        if any(t is None for t in enc_t):
+            enc_t = None
+        if any(t is None for t in dec_t):
+            dec_t = None
+        return (jnp.asarray(batch["x"]), enc, dec,
+                jnp.asarray(batch["node_mask"]), enc_t, dec_t)
 
     def _split_input(self, x):
         """Conditional-norm models consume the last time feature as the
@@ -178,9 +197,7 @@ class SequentialTrainer(BaseTrainer):
         latent = self.latent_tokens_coord
         use_cond = self.model_config.use_conditional_norm
 
-        enc_t, dec_t = self.enc_tgraphs, self.dec_tgraphs
-
-        def forward(params, x, coord, enc, dec, rng, training):
+        def forward(params, x, coord, enc, dec, enc_t, dec_t, rng, training):
             pndata = x[..., :-1] if use_cond else x
             cond = x[:, 0, -2:-1] if use_cond else None
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
@@ -190,9 +207,9 @@ class SequentialTrainer(BaseTrainer):
 
         @partial(jax.jit, donate_argnums=(1,))
         def train_fn(params, opt_state, rng, x, target, sample_mask,
-                     coord, enc, dec, node_mask):
+                     coord, enc, dec, node_mask, enc_t, dec_t):
             def loss_fn(p):
-                pred = forward(p, x, coord, enc, dec, rng, True)
+                pred = forward(p, x, coord, enc, dec, enc_t, dec_t, rng, True)
                 return masked_mse(pred, target, sample_mask, node_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -201,8 +218,9 @@ class SequentialTrainer(BaseTrainer):
             return params, opt_state, loss
 
         @jax.jit
-        def eval_fn(params, x, target, sample_mask, coord, enc, dec, node_mask):
-            pred = forward(params, x, coord, enc, dec, None, False)
+        def eval_fn(params, x, target, sample_mask, coord, enc, dec,
+                    node_mask, enc_t, dec_t):
+            pred = forward(params, x, coord, enc, dec, enc_t, dec_t, None, False)
             return masked_mse(pred, target, sample_mask, node_mask)
 
         self._train_fn, self._eval_fn = train_fn, eval_fn
@@ -211,11 +229,11 @@ class SequentialTrainer(BaseTrainer):
         if self._train_fn is None:
             self._build_steps()
         batch = self.place_batch(batch)
-        coord, enc, dec, node_mask = self._graph_args(batch)
+        coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
         self.params, self.opt_state, loss = self._train_fn(
             self.params, self.opt_state, self._next_rng(),
             batch["input"], batch["target"], batch["sample_mask"],
-            coord, enc, dec, node_mask)
+            coord, enc, dec, node_mask, enc_t, dec_t)
         return loss
 
     def validate(self, loader) -> float:
@@ -226,10 +244,11 @@ class SequentialTrainer(BaseTrainer):
         total, count = 0.0, 0
         for batch in loader:
             batch = self.place_batch(batch)
-            coord, enc, dec, node_mask = self._graph_args(batch)
+            coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
             total += float(self._eval_fn(self.params, batch["input"],
                                          batch["target"], batch["sample_mask"],
-                                         coord, enc, dec, node_mask))
+                                         coord, enc, dec, node_mask,
+                                         enc_t, dec_t))
             count += 1
         return total / max(count, 1)
 
@@ -242,9 +261,9 @@ class SequentialTrainer(BaseTrainer):
             stats=self.stats, stepper_mode=self.stepper_mode,
             latent_tokens_coord=self.latent_tokens_coord,
             use_conditional_norm=self.model_config.use_conditional_norm)
-        return jax.jit(lambda params, x, coord, enc, dec: roll(
+        return jax.jit(lambda params, x, coord, enc, dec, enc_t, dec_t: roll(
             params, x_batch=x, coord=coord, encoder_graphs=enc,
-            decoder_graphs=dec))
+            decoder_graphs=dec, encoder_tgraphs=enc_t, decoder_tgraphs=dec_t))
 
     def test(self):
         """Rollout evaluation over the configured predict modes
@@ -267,9 +286,9 @@ class SequentialTrainer(BaseTrainer):
             rollout = self._rollout_fn(time_indices)
             all_errs = []
             for batch in loader:
-                coord, enc, dec, node_mask = self._graph_args(batch)
+                coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
                 pred = np.asarray(rollout(self.params, jnp.asarray(batch["input"]),
-                                          coord, enc, dec))
+                                          coord, enc, dec, enc_t, dec_t))
                 target = np.asarray(batch["target"], dtype=np.float64)
                 keep = np.asarray(batch["sample_mask"])
                 pred, target = pred[keep], target[keep]

@@ -24,7 +24,7 @@ from ..data.data_processor import DataProcessor
 from ..data.graph_builder import GraphBuilder
 from ..data.loader import make_static_fx_loader, make_static_vx_loader
 from ..models import GAOT
-from ..ops.padding import PaddedGraph, transpose_graph
+from ..ops.padding import PaddedGraph, TransposeGraph, transpose_graph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import plot_estimates
 from .base_trainer import BaseTrainer
@@ -85,7 +85,8 @@ class StaticTrainer(BaseTrainer):
             self.vx_graphs = builder.build_all_vx_graphs(
                 splits, latent, magno.radius, magno.scales,
                 build_train=self.setup_config.train,
-                model_transform=self.data_processor.coord_scaler)
+                model_transform=self.data_processor.coord_scaler,
+                with_transpose=magno.use_transpose_backward)
             loaders = {}
             for name in ["train", "val", "test"]:
                 g = self.vx_graphs[name]
@@ -101,9 +102,10 @@ class StaticTrainer(BaseTrainer):
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
-            num_nodes, num_latent = coord.shape[0], latent.shape[0]
-            self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
-            self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
+            if magno.use_transpose_backward:
+                num_nodes, num_latent = coord.shape[0], latent.shape[0]
+                self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
+                self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
             to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
             self.enc_graphs = [to_dev(g) for g in enc]
             self.dec_graphs = [to_dev(g) for g in dec]
@@ -128,26 +130,43 @@ class StaticTrainer(BaseTrainer):
             dtype=self.compute_dtype,
         )
         batch = next(iter(self.test_loader))
-        args = self._model_args(batch)
-        self.params = self.model.init(self._next_rng(), self.latent_tokens_coord,
-                                      *args)
+        coord, pndata, enc, dec, enc_t, dec_t = self._model_args(batch)
+        self.params = self.model.init(
+            self._next_rng(), self.latent_tokens_coord, coord, pndata, enc, dec,
+            encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
         self.replicate_params()
 
     def _batch_graphs(self, batch: Dict):
-        """Reassemble per-scale PaddedGraphs from a (vx) batch dict."""
+        """Reassemble per-scale PaddedGraphs (+ transpose graphs) from a (vx)
+        batch dict."""
         num_scales = len(self.model_config.args.magno.scales)
         enc = [PaddedGraph(batch[f"enc_idx_{s}"], batch[f"enc_mask_{s}"])
                for s in range(num_scales)]
         dec = [PaddedGraph(batch[f"dec_idx_{s}"], batch[f"dec_mask_{s}"])
                for s in range(num_scales)]
-        return enc, dec
+
+        def tg(prefix, s):
+            key = f"{prefix}_tpos_{s}"
+            if key not in batch:
+                return None
+            return TransposeGraph(batch[key], batch[f"{prefix}_tq_{s}"],
+                                  batch[f"{prefix}_tmask_{s}"])
+
+        enc_t = [tg("enc", s) for s in range(num_scales)]
+        dec_t = [tg("dec", s) for s in range(num_scales)]
+        if any(t is None for t in enc_t):
+            enc_t = None
+        if any(t is None for t in dec_t):
+            dec_t = None
+        return enc, dec, enc_t, dec_t
 
     def _model_args(self, batch: Dict):
-        """(xcoord, pndata, enc_graphs, dec_graphs) for a placed batch."""
+        """(xcoord, pndata, enc_graphs, dec_graphs, enc_t, dec_t)."""
         if self.coord_mode == "fx":
-            return (self.coord, batch["c"], self.enc_graphs, self.dec_graphs)
-        enc, dec = self._batch_graphs(batch)
-        return (batch["x"], batch["c"], enc, dec)
+            return (self.coord, batch["c"], self.enc_graphs, self.dec_graphs,
+                    self.enc_tgraphs, self.dec_tgraphs)
+        enc, dec, enc_t, dec_t = self._batch_graphs(batch)
+        return (batch["x"], batch["c"], enc, dec, enc_t, dec_t)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -155,9 +174,7 @@ class StaticTrainer(BaseTrainer):
         latent = self.latent_tokens_coord
         vx = self.coord_mode == "vx"
 
-        enc_t, dec_t = self.enc_tgraphs, self.dec_tgraphs
-
-        def forward(params, coord, pndata, enc, dec, rng, training):
+        def forward(params, coord, pndata, enc, dec, enc_t, dec_t, rng, training):
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
             return model.apply(params, latent, coord, pndata, enc, dec,
                                training=training, rngs=rngs,
@@ -167,9 +184,9 @@ class StaticTrainer(BaseTrainer):
         # reference, which donation would invalidate.
         @partial(jax.jit, donate_argnums=(1,))
         def train_fn(params, opt_state, rng, coord, pndata, target,
-                     sample_mask, node_mask, enc, dec):
+                     sample_mask, node_mask, enc, dec, enc_t, dec_t):
             def loss_fn(p):
-                pred = forward(p, coord, pndata, enc, dec, rng, True)
+                pred = forward(p, coord, pndata, enc, dec, enc_t, dec_t, rng, True)
                 return masked_mse(pred, target, sample_mask, node_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -179,25 +196,27 @@ class StaticTrainer(BaseTrainer):
 
         @jax.jit
         def eval_fn(params, coord, pndata, target, sample_mask, node_mask,
-                    enc, dec):
-            pred = forward(params, coord, pndata, enc, dec, None, False)
+                    enc, dec, enc_t, dec_t):
+            pred = forward(params, coord, pndata, enc, dec, enc_t, dec_t,
+                           None, False)
             return pred, masked_mse(pred, target, sample_mask, node_mask)
 
         self._train_fn, self._eval_fn = train_fn, eval_fn
 
     def _step_args(self, batch):
-        coord, pndata, enc, dec = self._model_args(batch)
+        coord, pndata, enc, dec, enc_t, dec_t = self._model_args(batch)
         node_mask = batch.get("node_mask")
-        return coord, pndata, batch["u"], batch["sample_mask"], node_mask, enc, dec
+        return (coord, pndata, batch["u"], batch["sample_mask"], node_mask,
+                enc, dec, enc_t, dec_t)
 
     def train_step(self, batch) -> jax.Array:
         if self._train_fn is None:
             self._build_steps()
         batch = self.place_batch(batch)
-        coord, pndata, target, sm, nm, enc, dec = self._step_args(batch)
+        coord, pndata, target, sm, nm, enc, dec, enc_t, dec_t = self._step_args(batch)
         self.params, self.opt_state, loss = self._train_fn(
             self.params, self.opt_state, self._next_rng(), coord, pndata,
-            target, sm, nm, enc, dec)
+            target, sm, nm, enc, dec, enc_t, dec_t)
         return loss
 
     def validate(self, loader) -> float:
