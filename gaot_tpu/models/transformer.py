@@ -191,14 +191,18 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(h, condition=condition, use_rope=use_rope, deterministic=deterministic)
-        h2 = RMSNorm(cfg.norm_eps, name="ffn_norm")(h) if cfg.use_ffn_norm else h
+        # NOTE: the reference's FFN residual branches off the NORMED
+        # activation — out = norm(h) + ffn(norm(h)) — not the pre-norm h
+        # (reference attn.py:231-233). Reproduced exactly for weight-level
+        # parity.
+        h = RMSNorm(cfg.norm_eps, name="ffn_norm")(h) if cfg.use_ffn_norm else h
         return h + FFN(
             ffn_hidden_size=cfg.hidden_size * cfg.ffn_multiplier,
             use_conditional_norm=cfg.attn_config.use_conditional_norm,
             cond_norm_hidden_size=cfg.attn_config.cond_norm_hidden_size,
             dtype=self.dtype,
             name="ffn",
-        )(h2, condition=condition)
+        )(h, condition=condition)
 
 
 class Transformer(nn.Module):
