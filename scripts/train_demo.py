@@ -1,0 +1,97 @@
+"""End-to-end training demo on the current accelerator.
+
+Generates a synthetic Poisson-like dataset (smooth map from a source field c
+to a solution u on scattered 2D points), then runs the full CLI/trainer
+stack — graph build, jitted training with the mix schedule, best-model
+tracking, checkpointing, relative-L1 test metric, result plots — exactly as
+a user would on a real dataset.
+
+Usage: python scripts/train_demo.py [epochs] [num_nodes] [train_size]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_dataset(path, num_samples, num_nodes, seed=0):
+    """u = smoothed response to a random source field c (Gaussian kernel mix)."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 1, (num_nodes, 2)).astype(np.float32)
+    # Random sources: mixture of Gaussians per sample
+    centers = rng.uniform(0, 1, (num_samples, 4, 2))
+    amps = rng.normal(size=(num_samples, 4)) * 0.5
+    widths = rng.uniform(0.05, 0.15, (num_samples, 4))
+    d2 = ((coords[None, None] - centers[:, :, None]) ** 2).sum(-1)  # [S,4,N]
+    c = (amps[..., None] * np.exp(-d2 / (2 * widths[..., None] ** 2))).sum(1)
+    # "solution": wider smoothing of the same sources (Poisson-like response)
+    u = (amps[..., None] * widths[..., None] ** 2 * 40.0
+         * np.exp(-d2 / (2 * (2.5 * widths[..., None]) ** 2))).sum(1)
+    x = np.broadcast_to(coords[None, None], (num_samples, 1, num_nodes, 2))
+    np.savez(path, u=u[:, None, :, None].astype(np.float32),
+             c=c[:, None, :, None].astype(np.float32),
+             x=np.ascontiguousarray(x))
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    num_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    train_size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+
+    out_dir = os.path.abspath(".demo")
+    os.makedirs(out_dir, exist_ok=True)
+    data_path = os.path.join(out_dir, "poisson_demo.npz")
+    if not os.path.exists(data_path):
+        make_dataset(data_path, train_size + 128, num_nodes)
+
+    config = {
+        "setup": {"seed": 7, "trainer_name": "static", "train": True,
+                  "compute_dtype": "bfloat16"},
+        "model": {
+            "latent_tokens_size": [32, 32],
+            "args": {
+                "magno": {"coord_dim": 2, "radius": 0.066, "hidden_size": 64,
+                          "mlp_layers": 3, "lifting_channels": 32},
+                "transformer": {"patch_size": 2, "hidden_size": 128,
+                                "num_layers": 3},
+            },
+        },
+        "dataset": {
+            "name": "poisson_demo",
+            "metaname": "elliptic_pdes/Poisson-Gauss",
+            "base_path": out_dir,
+            "train_size": train_size, "val_size": 64, "test_size": 64,
+            "batch_size": 32, "shuffle": True,
+        },
+        "optimizer": {
+            "name": "adamw",
+            "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": epochs,
+                     "eval_every_eps": max(2, epochs // 10),
+                     "scheduler": "mix", "max_lr": 1e-3, "min_lr": 1e-4,
+                     "final_lr": 5e-5},
+        },
+        "path": {
+            "ckpt_path": os.path.join(out_dir, "ckpt"),
+            "loss_path": os.path.join(out_dir, "loss.png"),
+            "result_path": os.path.join(out_dir, "result.png"),
+            "database_path": os.path.join(out_dir, "db.csv"),
+        },
+    }
+    cfg_path = os.path.join(out_dir, "demo.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+
+    from gaot_tpu.cli import run_config
+
+    t0 = time.perf_counter()
+    run_config(cfg_path)
+    print(f"demo complete in {time.perf_counter() - t0:.1f}s; "
+          f"artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,11 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-device sharding paths are exercised without TPU hardware.
+"""Test configuration.
 
-The environment may pin JAX_PLATFORMS=axon (TPU tunnel) and a pytest plugin
-may import jax before this file runs, so set both the env vars and the jax
-config (backends initialize lazily, so config updates still take effect)."""
+- Forces the CPU platform with 8 virtual devices so multi-device sharding
+  paths run without TPU hardware (the environment may pin JAX_PLATFORMS to
+  the TPU tunnel, and a pytest plugin may import jax before this file —
+  handle both).
+- Enables the persistent compilation cache so repeat runs skip XLA compiles.
+"""
 import os
 import sys
 
@@ -12,11 +14,14 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-if "jax" in sys.modules:
-    import jax
+import jax  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_num_cpu_devices", 8)
-    except Exception:
-        pass  # XLA_FLAGS fallback above
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS fallback above
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gaot_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
