@@ -73,7 +73,7 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     mask = jnp.ones((batch_size,), dtype=bool)
 
     t0 = time.perf_counter()
-    params = model.init(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
+    params = jax.jit(model.init)(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
     log(f"init: {time.perf_counter() - t0:.2f}s, "
         f"params={sum(p.size for p in jax.tree.leaves(params))}")
 
@@ -107,7 +107,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     attn_backend = os.environ.get("BENCH_ATTN", "auto")
-    use_tgraph = os.environ.get("BENCH_TGRAPH", "0") == "1"
+    use_tgraph = os.environ.get("BENCH_TGRAPH", "1") == "1"
 
     import jax
 

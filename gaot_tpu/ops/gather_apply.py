@@ -80,9 +80,76 @@ def _bwd(res, dout):
 gather_multiply_reduce.defvjp(_fwd, _bwd)
 
 
+def _bulk_gather(f2d, indices):
+    """Leading-axis row gather with a forced materialization boundary.
+
+    XLA's gather over the *leading* axis of a [N, W] array moves whole
+    contiguous W-sized rows and runs ~3.5x faster on TPU than the same
+    gather buried in the middle of a [B, N, C] array (measured ~340 GB/s
+    vs ~95 GB/s on v5e). The optimization barrier stops XLA from fusing
+    the gather into its consumer, which would re-serialize it into the
+    slow element-wise form.
+    """
+    return jax.lax.optimization_barrier(f2d[indices])
+
+
+@jax.custom_vjp
+def gather_multiply_reduce_nbc(coef: jnp.ndarray, f: jnp.ndarray,
+                               indices: jnp.ndarray, edge_pos: jnp.ndarray,
+                               tquery: jnp.ndarray, tmask: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather-multiply-reduce in node-leading layout.
+
+    coef: [Q, K, C] (shared across batch — linear transforms);
+    f: [N, B, C] node-leading features. Returns [Q, B, C].
+    Both the forward gather and the transpose-graph backward gathers move
+    contiguous [B*C] rows (see _bulk_gather).
+    """
+    q, k, c = coef.shape
+    n, b, _ = f.shape
+    gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
+    return jnp.einsum("qkc,qkbc->qbc", coef, gath)
+
+
+def _nbc_fwd(coef, f, indices, edge_pos, tquery, tmask):
+    return (gather_multiply_reduce_nbc(coef, f, indices, edge_pos, tquery,
+                                       tmask),
+            (coef, f, indices, edge_pos, tquery, tmask))
+
+
+def _nbc_bwd(res, dout):
+    coef, f, indices, edge_pos, tquery, tmask = res
+    q, k, c = coef.shape
+    n, b, _ = f.shape
+    # d_coef[q,k,c] = Σ_b dout[q,b,c] · f[idx[q,k],b,c]  (recomputed gather)
+    gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
+    d_coef = jnp.einsum("qbc,qkbc->qkc", dout, gath).astype(coef.dtype)
+    # d_f[n,b,c] = Σ_j coef_flat[edge_pos[n,j],c] · dout[query[n,j],b,c]
+    cg = jnp.where(tmask[..., None], coef.reshape(-1, c)[edge_pos], 0)  # [N,Kt,C]
+    dg = _bulk_gather(dout.reshape(q, b * c), tquery)                   # [N,Kt,B*C]
+    d_f = jnp.einsum("nkc,nkbc->nbc", cg,
+                     dg.reshape(n, -1, b, c)).astype(f.dtype)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (d_coef, d_f, zeros_i(indices), zeros_i(edge_pos),
+            zeros_i(tquery), zeros_i(tmask))
+
+
+gather_multiply_reduce_nbc.defvjp(_nbc_fwd, _nbc_bwd)
+
+
 def apply_graph_transform(coef, f, graph, tgraph: TransposeGraph = None):
-    """Dispatch: transpose-graph custom VJP when available, else plain XLA."""
+    """Dispatch the gather-multiply-reduce to the fastest available path.
+
+    - no transpose graph → plain XLA (autodiff backward = scatter-add);
+    - f [N, C] (vx-flattened) or batched coef → flat custom VJP;
+    - f [B, N, C] with shared coef [Q, K, C] → node-leading-layout custom
+      VJP (fastest: bulk-row gathers forward and backward).
+    """
     if tgraph is None:
         return _forward(coef, f, graph.indices)
+    if f.ndim == 3 and coef.ndim == 3:
+        out = gather_multiply_reduce_nbc(
+            coef, jnp.swapaxes(f, 0, 1), graph.indices, tgraph.edge_pos,
+            tgraph.query, tgraph.mask)                    # [Q, B, C]
+        return jnp.swapaxes(out, 0, 1)                    # [B, Q, C]
     return gather_multiply_reduce(coef, f, graph.indices, tgraph.edge_pos,
                                   tgraph.query, tgraph.mask)

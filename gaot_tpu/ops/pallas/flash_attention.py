@@ -37,9 +37,52 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """Fully VMEM-resident attention backward for one (batch, q-head).
+
+    Recomputes the softmax (standard flash backward), then
+        dV = Pᵀ·dO,  dP = dO·Vᵀ,  dS = P∘(dP − rowsum(P∘dP)),
+        dQ = scale·dS·K,  dK = scale·dSᵀ·Q.
+    """
+    q = q_ref[0]                      # [S, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [S, S] fp32
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    p /= jnp.sum(p, axis=-1, keepdims=True)                  # [S, S] fp32
+    pb = p.astype(v.dtype)
+    # dv[j] = Σ_i P[i,j]·dO[i]
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    # dp[i,j] = dO[i]·V[j]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [S, S] fp32
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
 def _supported(seq: int, head_dim: int) -> bool:
     # K/V-resident single-pass kernel: keep K,V + scores in VMEM.
     return seq % 128 == 0 and head_dim % 8 == 0 and seq * head_dim <= 1 << 20
+
+
+def _bwd_supported(seq: int, head_dim: int) -> bool:
+    # The backward holds two fp32 [S, S] buffers per program in VMEM
+    # (~8 MB at S=1024 of the ~16 MB budget).
+    return seq % 128 == 0 and head_dim % 8 == 0 and seq <= 1024
 
 
 def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -48,9 +91,9 @@ def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q: [B, S, H, D]; k, v: [B, S, Hkv, D] with H a multiple of Hkv.
     Returns [B, S, H, D]. Falls back to the XLA einsum path for shapes the
-    kernel doesn't cover. Differentiable: forward runs the Pallas kernel,
-    backward recomputes through the XLA reference (flash backward kernel is
-    a follow-up).
+    kernel doesn't cover. Differentiable: forward runs the Pallas flash
+    kernel; backward runs the Pallas flash backward when the shape allows
+    (S ≤ 1024), else recomputes through the XLA reference.
     """
     if not _supported(q.shape[1], q.shape[3]):
         from ...models.transformer import gqa_attention_xla
@@ -69,14 +112,50 @@ def _flash_fwd_rule(q, k, v, q_block):
 
 
 def _flash_bwd_rule(q_block, residuals, g):
+    q, k, v = residuals
+    if _bwd_supported(q.shape[1], q.shape[3]):
+        return _flash_backward(q, k, v, g)
     from ...models.transformer import gqa_attention_xla
 
-    q, k, v = residuals
     _, vjp = jax.vjp(gqa_attention_xla, q, k, v)
     return vjp(g)
 
 
 _flash_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _flash_backward(q, k, v, do):
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = 1.0 / (d ** 0.5)
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
+    doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    def kv_index(bh):
+        return ((bh // h) * hkv + (bh % h) // group, 0, 0)
+
+    q_spec = pl.BlockSpec((1, s, d), lambda bh: (bh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
+
+    dq, dkp, dvp = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, q_spec, q_spec],
+        out_shape=[out_sds, out_sds, out_sds],
+    )(qh, kh, vh, doh)
+
+    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    # dK/dV are computed per q-head; sum the per-group partials for GQA.
+    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -148,7 +148,7 @@ class SequentialTrainer(BaseTrainer):
         batch = next(iter(self.test_loader))
         pndata, cond = self._split_input(jnp.asarray(batch["input"]))
         coord, enc, dec, _, _, _ = self._graph_args(batch)
-        self.params = self.model.init(
+        self.params = jax.jit(self.model.init)(
             self._next_rng(), self.latent_tokens_coord, coord, pndata,
             enc, dec, condition=cond)
         self.replicate_params()

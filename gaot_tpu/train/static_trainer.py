@@ -131,7 +131,9 @@ class StaticTrainer(BaseTrainer):
         )
         batch = next(iter(self.test_loader))
         coord, pndata, enc, dec, enc_t, dec_t = self._model_args(batch)
-        self.params = self.model.init(
+        # jit the init: unjitted Flax init runs op-by-op, which is very
+        # slow on remote/tunneled devices (one dispatch round-trip per op).
+        self.params = jax.jit(self.model.init)(
             self._next_rng(), self.latent_tokens_coord, coord, pndata, enc, dec,
             encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
         self.replicate_params()

@@ -3,10 +3,13 @@
 Times encoder / processor / decoder forward and the full train step, in
 fp32 vs bf16 compute, to direct optimization work.
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, iters=10, warmup=2):
@@ -53,7 +56,7 @@ def main(batch_size=64, num_nodes=8192, latent=(64, 64)):
                                      "num_layers": 3}},
         })
         model = GAOT(input_size=1, output_size=1, config=cfg, dtype=dtype)
-        params = model.init(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
+        params = jax.jit(model.init)(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
 
         bound = model.bind(params)
 

@@ -36,22 +36,25 @@ def test_flash_attention_fallback_for_odd_shapes():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_flash_attention_grad_matches_xla():
-    """Gradients flow through the custom VJP and match the XLA path."""
+@pytest.mark.parametrize("h,hkv", [(2, 2), (4, 2)])
+def test_flash_attention_grad_matches_xla(h, hkv):
+    """The Pallas flash backward kernel matches XLA autodiff (incl. GQA)."""
     rng = np.random.default_rng(2)
-    b, s, h, d = 1, 128, 2, 16
+    b, s, d = 1, 128, 16
     q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention_gqa(q, k, v, q_block=128) ** 2)
+        return jnp.sum(flash_attention_gqa(q, k, v, q_block=128) ** 2)
 
     def loss_xla(q, k, v):
         return jnp.sum(gqa_attention_xla(q, k, v) ** 2)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # The whole grad computation (forward + backward pallas_call) must run
+    # under interpret mode on CPU.
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
