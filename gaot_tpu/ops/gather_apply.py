@@ -93,6 +93,22 @@ def _bulk_gather(f2d, indices):
     return jax.lax.optimization_barrier(f2d[indices])
 
 
+def _pallas_consumers_ok(coef, f, tquery):
+    """Use the Pallas multiply-reduce consumers on TPU when shapes allow.
+
+    Left to XLA, the reduce over the gathered [K, Q, B*C] tensor picks a
+    transposed fp32 layout and materializes ~GB-scale copies; the Pallas
+    kernels (ops/pallas/multiply_reduce.py) pin the row-major layout.
+    """
+    from .pallas.multiply_reduce import supported
+
+    q, _, c = coef.shape
+    n, b, _ = f.shape
+    itemsize = f.dtype.itemsize
+    return (jax.default_backend() == "tpu"
+            and supported(q, b, c, itemsize) and supported(n, b, c, itemsize))
+
+
 @jax.custom_vjp
 def gather_multiply_reduce_nbc(coef: jnp.ndarray, f: jnp.ndarray,
                                indices: jnp.ndarray, edge_pos: jnp.ndarray,
@@ -102,10 +118,17 @@ def gather_multiply_reduce_nbc(coef: jnp.ndarray, f: jnp.ndarray,
     coef: [Q, K, C] (shared across batch — linear transforms);
     f: [N, B, C] node-leading features. Returns [Q, B, C].
     Both the forward gather and the transpose-graph backward gathers move
-    contiguous [B*C] rows (see _bulk_gather).
+    contiguous [B*C] rows (see _bulk_gather); all gathers are issued K-major
+    so the Pallas reduce consumers stream the rows in natural layout.
     """
     q, k, c = coef.shape
     n, b, _ = f.shape
+    if _pallas_consumers_ok(coef, f, tquery):
+        from .pallas.multiply_reduce import multiply_reduce_k
+
+        gath_km = _bulk_gather(f.reshape(n, b * c), indices.T)   # [K, Q, W]
+        out = multiply_reduce_k(jnp.swapaxes(coef, 0, 1), gath_km, b)
+        return out.reshape(q, b, c)
     gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
     return jnp.einsum("qkc,qkbc->qbc", coef, gath)
 
@@ -120,14 +143,28 @@ def _nbc_bwd(res, dout):
     coef, f, indices, edge_pos, tquery, tmask = res
     q, k, c = coef.shape
     n, b, _ = f.shape
-    # d_coef[q,k,c] = Σ_b dout[q,b,c] · f[idx[q,k],b,c]  (recomputed gather)
-    gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
-    d_coef = jnp.einsum("qbc,qkbc->qkc", dout, gath).astype(coef.dtype)
-    # d_f[n,b,c] = Σ_j coef_flat[edge_pos[n,j],c] · dout[query[n,j],b,c]
-    cg = jnp.where(tmask[..., None], coef.reshape(-1, c)[edge_pos], 0)  # [N,Kt,C]
-    dg = _bulk_gather(dout.reshape(q, b * c), tquery)                   # [N,Kt,B*C]
-    d_f = jnp.einsum("nkc,nkbc->nbc", cg,
-                     dg.reshape(n, -1, b, c)).astype(f.dtype)
+    if _pallas_consumers_ok(coef, f, tquery):
+        from .pallas.multiply_reduce import multiply_reduce_b, multiply_reduce_k
+
+        w = b * c
+        dout2 = dout.reshape(q, w)
+        # d_coef[q,k,c] = Σ_b dout[q,b,c] · f[idx[q,k],b,c]
+        gath_km = _bulk_gather(f.reshape(n, w), indices.T)        # [K, Q, W]
+        d_coef = jnp.swapaxes(
+            multiply_reduce_b(gath_km, dout2, b, c), 0, 1).astype(coef.dtype)
+        # d_f[n,b,c] = Σ_j coef_flat[edge_pos[n,j],c] · dout[query[n,j],b,c]
+        cg = jnp.where(tmask.T[..., None],
+                       coef.reshape(-1, c)[edge_pos.T], 0)        # [Kt, N, C]
+        dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
+        d_f = multiply_reduce_k(cg, dg_km, b).reshape(n, b, c).astype(f.dtype)
+    else:
+        gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
+        d_coef = jnp.einsum("qbc,qkbc->qkc", dout, gath).astype(coef.dtype)
+        cg = jnp.where(tmask[..., None],
+                       coef.reshape(-1, c)[edge_pos], 0)          # [N,Kt,C]
+        dg = _bulk_gather(dout.reshape(q, b * c), tquery)         # [N,Kt,B*C]
+        d_f = jnp.einsum("nkc,nkbc->nbc", cg,
+                         dg.reshape(n, -1, b, c)).astype(f.dtype)
     zeros_i = lambda x: jnp.zeros_like(x)
     return (d_coef, d_f, zeros_i(indices), zeros_i(edge_pos),
             zeros_i(tquery), zeros_i(tmask))

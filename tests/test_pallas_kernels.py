@@ -59,3 +59,34 @@ def test_flash_attention_grad_matches_xla(h, hkv):
     for a, b_ in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_multiply_reduce_k_matches_einsum():
+    from gaot_tpu.ops.pallas.multiply_reduce import multiply_reduce_k, supported
+
+    rng = np.random.default_rng(3)
+    k, q, b, c = 4, 16, 8, 16
+    assert supported(q, b, c, 4)
+    coef_km = jnp.asarray(rng.normal(size=(k, q, c)).astype(np.float32))
+    gath_km = jnp.asarray(rng.normal(size=(k, q, b * c)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = multiply_reduce_k(coef_km, gath_km, b)
+    want = jnp.einsum("kqc,kqbc->qbc", coef_km,
+                      gath_km.reshape(k, q, b, c)).reshape(q, b * c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multiply_reduce_b_matches_einsum():
+    from gaot_tpu.ops.pallas.multiply_reduce import multiply_reduce_b
+
+    rng = np.random.default_rng(4)
+    k, q, b, c = 3, 16, 8, 16
+    gath_km = jnp.asarray(rng.normal(size=(k, q, b * c)).astype(np.float32))
+    dout = jnp.asarray(rng.normal(size=(q, b * c)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = multiply_reduce_b(gath_km, dout, b, c)
+    want = jnp.einsum("kqbc,qbc->kqc", gath_km.reshape(k, q, b, c),
+                      dout.reshape(q, b, c))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
