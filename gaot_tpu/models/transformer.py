@@ -35,7 +35,10 @@ class RMSNorm(nn.Module):
         x32 = x.astype(jnp.float32)
         normed = x32 * jnp.reciprocal(
             jnp.sqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps))
-        return normed.astype(x.dtype) * weight
+        # Scale in fp32, then return the input dtype: multiplying the bf16
+        # normed value by the fp32 weight would upcast the whole residual
+        # stream (and everything downstream) to fp32.
+        return (normed * weight).astype(x.dtype)
 
 
 def apply_rope(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:

@@ -143,6 +143,10 @@ def _nbc_bwd(res, dout):
     coef, f, indices, edge_pos, tquery, tmask = res
     q, k, c = coef.shape
     n, b, _ = f.shape
+    # The incoming cotangent is often fp32 (upcast by the loss); both grads
+    # are cast back to the bf16 param/feature dtypes anyway, so gather it in
+    # the feature dtype — halves the dominant backward gather traffic.
+    dout = dout.astype(f.dtype)
     if _pallas_consumers_ok(coef, f, tquery):
         from .pallas.multiply_reduce import multiply_reduce_b, multiply_reduce_k
 

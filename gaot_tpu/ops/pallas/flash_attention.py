@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LOG2E = 1.4426950408889634  # softmax via exp2 (cheaper than exp on the VPU)
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]                      # [Qt, D]
@@ -27,11 +29,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     v = v_ref[0]                      # [S, D]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [Qt, S]
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [Qt, S]
     maxes = jnp.max(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(logits - maxes)
+    probs = jnp.exp2(logits - maxes)
     denom = jnp.sum(probs, axis=-1, keepdims=True)
-    probs = (probs / denom).astype(v.dtype)
+    probs = (probs * pl.reciprocal(denom, approx=False)).astype(v.dtype)
     o_ref[0] = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -51,10 +53,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     do = do_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # [S, S] fp32
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [S, S] fp32
     logits -= jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits)
-    p /= jnp.sum(p, axis=-1, keepdims=True)                  # [S, S] fp32
+    p = jnp.exp2(logits)
+    p *= pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True),
+                       approx=False)                         # [S, S] fp32
     pb = p.astype(v.dtype)
     # dv[j] = Σ_i P[i,j]·dO[i]
     dv_ref[0] = jax.lax.dot_general(
@@ -86,7 +89,7 @@ def _bwd_supported(seq: int, head_dim: int) -> bool:
 
 
 def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        q_block: int = 256) -> jnp.ndarray:
+                        q_block: int = 1024) -> jnp.ndarray:
     """Attention with grouped KV heads.
 
     q: [B, S, H, D]; k, v: [B, S, Hkv, D] with H a multiple of Hkv.
