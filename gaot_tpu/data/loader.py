@@ -16,6 +16,8 @@ from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
+from ..ops.native import take_rows
+
 
 class BatchLoader:
     """Iterates a dataset of S samples as fixed-size batches.
@@ -68,9 +70,9 @@ def make_static_fx_loader(c: Optional[np.ndarray], u: np.ndarray,
     """Loader for fixed-coordinate static data: batches of (c, u)."""
 
     def get_batch(idx):
-        batch = {"u": u[idx]}
+        batch = {"u": take_rows(u, idx)}
         if c is not None:
-            batch["c"] = c[idx]
+            batch["c"] = take_rows(c, idx)
         return batch
 
     return BatchLoader(len(u), batch_size, get_batch, shuffle=shuffle, seed=seed)
@@ -97,23 +99,72 @@ def make_static_vx_loader(c: Optional[np.ndarray], u: np.ndarray,
 
     def get_batch(idx):
         batch = {
-            "u": u_p[idx],
-            "x": graphs.coords[idx],
-            "node_mask": graphs.node_mask[idx],
+            "u": take_rows(u_p, idx),
+            "x": take_rows(graphs.coords, idx),
+            "node_mask": take_rows(graphs.node_mask, idx),
         }
         if c_p is not None:
-            batch["c"] = c_p[idx]
+            batch["c"] = take_rows(c_p, idx)
         for s, g in enumerate(graphs.encoder):
-            batch[f"enc_idx_{s}"] = g.indices[idx]
-            batch[f"enc_mask_{s}"] = g.mask[idx]
+            batch[f"enc_idx_{s}"] = take_rows(g.indices, idx)
+            batch[f"enc_mask_{s}"] = take_rows(g.mask, idx)
         for s, g in enumerate(graphs.decoder):
-            batch[f"dec_idx_{s}"] = g.indices[idx]
-            batch[f"dec_mask_{s}"] = g.mask[idx]
+            batch[f"dec_idx_{s}"] = take_rows(g.indices, idx)
+            batch[f"dec_mask_{s}"] = take_rows(g.mask, idx)
         for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
             for s, t in enumerate(tgs or []):
-                batch[f"{prefix}_tpos_{s}"] = t.edge_pos[idx]
-                batch[f"{prefix}_tq_{s}"] = t.query[idx]
-                batch[f"{prefix}_tmask_{s}"] = t.mask[idx]
+                batch[f"{prefix}_tpos_{s}"] = take_rows(t.edge_pos, idx)
+                batch[f"{prefix}_tq_{s}"] = take_rows(t.query, idx)
+                batch[f"{prefix}_tmask_{s}"] = take_rows(t.mask, idx)
         return batch
 
     return BatchLoader(len(u), batch_size, get_batch, shuffle=shuffle, seed=seed)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetch (double-buffered).
+
+    TPU-native counterpart of the reference's multi-worker DataLoader
+    (src/core/default_configs.py:68 `num_workers`, pin_memory loaders at
+    src/datasets/data_processor.py:357,373): batch assembly — which uses the
+    multi-threaded native row gather (cpp/batch_gather.cc) for large copies —
+    runs on a host thread and overlaps the device step that consumes the
+    previous batch. Iteration order and contents are identical to iterating
+    the wrapped loader directly.
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,8 +1,10 @@
-"""ctypes loader/builder for the native C++ host kernels (cpp/neighbor_search.cc).
+"""ctypes loader/builder for the native C++ host kernels (cpp/*.cc).
 
 Compiles the shared library on first use with g++ (cached by source mtime) and
-exposes a thin NumPy wrapper. If no compiler is available the caller falls
-back to the pure-Python backends in ops/neighbor_search.py.
+exposes thin NumPy wrappers: fixed-radius neighbor search
+(cpp/neighbor_search.cc) and the multi-threaded batch row gather
+(cpp/batch_gather.cc). If no compiler is available the callers fall back to
+pure-Python/NumPy implementations.
 """
 from __future__ import annotations
 
@@ -15,7 +17,9 @@ from typing import Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "cpp", "neighbor_search.cc")
+_SRCS = [os.path.join(_REPO_ROOT, "cpp", f)
+         for f in ("neighbor_search.cc", "batch_gather.cc")]
+_SRC = _SRCS[0]
 _BUILD_DIR = os.path.join(_REPO_ROOT, "cpp", "_build")
 _SO = os.path.join(_BUILD_DIR, "libgaot_native.so")
 
@@ -38,6 +42,11 @@ class NativeLib:
         self._lib.gaot_radius_fill.argtypes = [
             f32p, ctypes.c_int64, f32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_float, i64p, i64p,
+        ]
+        self._lib.gaot_gather_rows.restype = ctypes.c_int
+        self._lib.gaot_gather_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
         ]
 
     def radius_search(self, data: np.ndarray, queries: np.ndarray,
@@ -64,12 +73,37 @@ class NativeLib:
             raise RuntimeError(f"gaot_radius_fill failed with code {rc}")
         return index, row_splits
 
+    def gather_rows(self, src: np.ndarray, idx: np.ndarray,
+                    num_threads: int = 0) -> np.ndarray:
+        """out[i] = src[idx[i]] over the leading axis (multi-threaded memcpy)."""
+        assert src.flags["C_CONTIGUOUS"]
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        out = np.empty((idx.shape[0],) + src.shape[1:], dtype=src.dtype)
+        row_bytes = src.strides[0] if src.ndim > 1 else src.itemsize
+        rc = self._lib.gaot_gather_rows(
+            src.ctypes.data_as(ctypes.c_void_p), row_bytes,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0], out.ctypes.data_as(ctypes.c_void_p), num_threads)
+        if rc != 0:
+            raise RuntimeError(f"gaot_gather_rows failed with code {rc}")
+        return out
+
+
+def take_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather rows over the leading axis, using the native multi-threaded
+    path for large copies and NumPy otherwise."""
+    lib = get_native_lib()
+    if (lib is not None and src.flags["C_CONTIGUOUS"]
+            and src.nbytes // max(len(src), 1) * len(idx) >= (4 << 20)):
+        return lib.gather_rows(src, idx)
+    return src[idx]
+
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        "-o", _SO, _SRC,
+        "-o", _SO, *_SRCS,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -85,10 +119,11 @@ def get_native_lib() -> Optional[NativeLib]:
         if _load_attempted:
             return _lib_wrapper
         _load_attempted = True
-        if not os.path.exists(_SRC):
+        if not all(os.path.exists(s) for s in _SRCS):
             return None
         stale = (not os.path.exists(_SO)
-                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+                 or any(os.path.getmtime(_SO) < os.path.getmtime(s)
+                        for s in _SRCS))
         if stale and not _build():
             return None
         try:

@@ -168,11 +168,16 @@ class BaseTrainer(ABC):
         losses, epochs, val_losses, val_epochs = [], [], [], []
 
         num_batches = len(self.train_loader)
+        # Overlap host batch assembly (native multi-threaded row gather) with
+        # the device step; order/contents are identical to direct iteration.
+        from ..data.loader import PrefetchLoader
+
+        train_iter = PrefetchLoader(self.train_loader)
         start = time.perf_counter()
         samples_done = 0
         for epoch in range(args.epoch):
             epoch_losses = []
-            for batch in self.train_loader:
+            for batch in train_iter:
                 epoch_losses.append(self.train_step(batch))
                 samples_done += int(np.sum(batch["sample_mask"]))
             if (epoch + 1) % eval_every == 0:

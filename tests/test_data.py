@@ -132,3 +132,34 @@ def test_knn_strategy_builder():
     assert (enc[0].mask.sum(-1) == 5).all()
     assert (enc[1].mask.sum(-1) == 10).all()  # scale multiplies k
     assert (dec[0].mask.sum(-1) == 5).all()
+
+
+def test_prefetch_loader_matches_direct_iteration():
+    from gaot_tpu.data.loader import BatchLoader, PrefetchLoader
+
+    u = np.arange(7 * 3, dtype=np.float32).reshape(7, 3)
+    mk = lambda: BatchLoader(7, 2, lambda idx: {"u": u[idx]},
+                             shuffle=True, seed=3)
+    direct = list(mk())
+    prefetched = list(PrefetchLoader(mk()))
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_array_equal(a["u"], b["u"])
+        np.testing.assert_array_equal(a["sample_mask"], b["sample_mask"])
+
+
+def test_native_take_rows_matches_numpy():
+    from gaot_tpu.ops.native import get_native_lib, take_rows
+
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(257, 129)).astype(np.float32)
+    idx = rng.integers(0, 257, 64)
+    np.testing.assert_array_equal(take_rows(src, idx), src[idx])
+    lib = get_native_lib()
+    if lib is not None:  # force the native path regardless of size threshold
+        big = rng.normal(size=(512, 4096)).astype(np.float32)
+        bidx = rng.integers(0, 512, 300)
+        np.testing.assert_array_equal(lib.gather_rows(big, bidx), big[bidx])
+        # bool and int dtypes too (graph masks/indices)
+        m = rng.integers(0, 2, (512, 640)).astype(bool)
+        np.testing.assert_array_equal(lib.gather_rows(m, bidx), m[bidx])
