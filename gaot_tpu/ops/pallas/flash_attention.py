@@ -77,15 +77,64 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
+def _attn_bwd_tiled_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                           dv_ref, dk_acc, dv_acc, *, scale: float):
+    """Q-tiled attention backward for sequences too long for the
+    fully-resident kernel (3D latent grids: S up to ~8k).
+
+    Grid (bh, q_tiles): per q-tile recompute that tile's softmax rows
+    (row-wise max/denominator are exact — softmax is row-local), emit dQ for
+    the tile, and accumulate dK/dV across tiles in VMEM scratch.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]                      # [Qt, D]
+    k = k_ref[0]                      # [S, D]
+    v = v_ref[0]
+    do = do_ref[0]                    # [Qt, D]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [Qt, S]
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2(logits)
+    p *= pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+    pb = p.astype(v.dtype)
+    dv_acc[:] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _supported(seq: int, head_dim: int) -> bool:
     # K/V-resident single-pass kernel: keep K,V + scores in VMEM.
     return seq % 128 == 0 and head_dim % 8 == 0 and seq * head_dim <= 1 << 20
 
 
+_BWD_MONOLITHIC_MAX_S = 1024   # fully-resident backward (fastest, measured)
+_BWD_TILED_MAX_S = 4096        # q-tiled backward for 3D grids
+
+
 def _bwd_supported(seq: int, head_dim: int) -> bool:
-    # The backward holds two fp32 [S, S] buffers per program in VMEM
-    # (~8 MB at S=1024 of the ~16 MB budget).
-    return seq % 128 == 0 and head_dim % 8 == 0 and seq <= 1024
+    # Monolithic kernel holds two fp32 [S, S] buffers per program in VMEM
+    # (~8 MB at S=1024); the tiled kernel covers longer sequences.
+    return seq % 128 == 0 and head_dim % 8 == 0 and seq <= _BWD_TILED_MAX_S
 
 
 def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -102,7 +151,12 @@ def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from ...models.transformer import gqa_attention_xla
 
         return gqa_attention_xla(q, k, v)
-    return _flash_diff(q, k, v, min(q_block, q.shape[1]))
+    # The fp32 [Qt, S] logits tile must fit the ~16 MB scoped-VMEM budget.
+    s = q.shape[1]
+    qb = min(q_block, s, max(128, (1 << 21) // s // 128 * 128))
+    while s % qb:
+        qb //= 2
+    return _flash_diff(q, k, v, qb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -137,22 +191,46 @@ def _flash_backward(q, k, v, do):
     kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
     vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
     doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-    def kv_index(bh):
-        return ((bh // h) * hkv + (bh % h) // group, 0, 0)
-
-    q_spec = pl.BlockSpec((1, s, d), lambda bh: (bh, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
 
-    dq, dkp, dvp = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
-        out_specs=[q_spec, q_spec, q_spec],
-        out_shape=[out_sds, out_sds, out_sds],
-    )(qh, kh, vh, doh)
+    if s <= _BWD_MONOLITHIC_MAX_S:
+        def kv_index(bh):
+            return ((bh // h) * hkv + (bh % h) // group, 0, 0)
+
+        q_spec = pl.BlockSpec((1, s, d), lambda bh: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM)
+        dq, dkp, dvp = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, scale=scale),
+            grid=(b * h,),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            out_specs=[q_spec, q_spec, q_spec],
+            out_shape=[out_sds, out_sds, out_sds],
+        )(qh, kh, vh, doh)
+    else:
+        # ~5 fp32 [Qt, S] tile buffers live at once (logits/p/dp/ds + casts);
+        # keep them within the ~16 MB scoped-VMEM budget.
+        qt = min(s, max(64, (1 << 18) // s // 64 * 64))
+        while s % qt:
+            qt //= 2
+
+        def kv_index2(bh, j):
+            return ((bh // h) * hkv + (bh % h) // group, 0, 0)
+
+        qt_spec = pl.BlockSpec((1, qt, d), lambda bh, j: (bh, j, 0),
+                               memory_space=pltpu.VMEM)
+        kv_spec2 = pl.BlockSpec((1, s, d), kv_index2, memory_space=pltpu.VMEM)
+        kvout_spec = pl.BlockSpec((1, s, d), lambda bh, j: (bh, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        dq, dkp, dvp = pl.pallas_call(
+            functools.partial(_attn_bwd_tiled_kernel, scale=scale),
+            grid=(b * h, s // qt),
+            in_specs=[qt_spec, kv_spec2, kv_spec2, qt_spec],
+            out_specs=[qt_spec, kvout_spec, kvout_spec],
+            out_shape=[out_sds, out_sds, out_sds],
+            scratch_shapes=[pltpu.VMEM((s, d), jnp.float32),
+                            pltpu.VMEM((s, d), jnp.float32)],
+        )(qh, kh, vh, doh)
 
     dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     # dK/dV are computed per q-head; sum the per-group partials for GQA.

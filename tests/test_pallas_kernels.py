@@ -90,3 +90,33 @@ def test_multiply_reduce_b_matches_einsum():
                       dout.reshape(q, b, c))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_tiled_backward_matches_xla():
+    """S > 1024 routes to the q-tiled backward kernel; grads match XLA."""
+    from gaot_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 256, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_gqa(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(gqa_attention_xla(q, k, v) ** 2)
+
+    # Force the tiled path by lowering the monolithic cutoff below S.
+    orig = fa._BWD_MONOLITHIC_MAX_S
+    fa._BWD_MONOLITHIC_MAX_S = 128
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._BWD_MONOLITHIC_MAX_S = orig
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
