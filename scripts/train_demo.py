@@ -6,7 +6,9 @@ stack — graph build, jitted training with the mix schedule, best-model
 tracking, checkpointing, relative-L1 test metric, result plots — exactly as
 a user would on a real dataset.
 
-Usage: python scripts/train_demo.py [epochs] [num_nodes] [train_size]
+Usage: python scripts/train_demo.py [epochs] [num_nodes] [train_size] [sequential]
+Pass "sequential" as any argument to run the time-dependent trainer instead
+(NS-Gauss-like synthetic rollout data; autoregressive/direct/star eval).
 """
 import json
 import os
@@ -37,10 +39,30 @@ def make_dataset(path, num_samples, num_nodes, seed=0):
              x=np.ascontiguousarray(x))
 
 
+def make_sequential_dataset(path, num_samples, num_nodes, num_timesteps=15,
+                            seed=0):
+    """NS-Gauss-like traveling waves: u [S, T, N, 2] on fixed scattered coords."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 1, (num_nodes, 2)).astype(np.float32)
+    t = np.linspace(0, 1, num_timesteps)
+    amp = rng.normal(size=(num_samples, 1, 1, 2)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, (num_samples, 1, 1, 2)).astype(np.float32)
+    spatial = np.stack([np.sin(2 * np.pi * coords[:, 0]),
+                        np.cos(2 * np.pi * coords[:, 1])], -1)[None, None]
+    u = (amp * np.cos(2 * np.pi * t[None, :, None, None] + phase)
+         * (0.5 + spatial)).astype(np.float32)
+    x = np.broadcast_to(coords[None, None], (1, 1, num_nodes, 2))
+    np.savez(path, u=u, x=np.ascontiguousarray(x))
+
+
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    num_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    train_size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    args = [a for a in sys.argv[1:] if a != "sequential"]
+    sequential = "sequential" in sys.argv[1:]
+    epochs = int(args[0]) if len(args) > 0 else 40
+    num_nodes = int(args[1]) if len(args) > 1 else 2048
+    train_size = int(args[2]) if len(args) > 2 else 512
+    if sequential:
+        return run_sequential(epochs, num_nodes, train_size)
 
     out_dir = os.path.abspath(".demo")
     os.makedirs(out_dir, exist_ok=True)
@@ -90,6 +112,61 @@ def main():
     t0 = time.perf_counter()
     run_config(cfg_path)
     print(f"demo complete in {time.perf_counter() - t0:.1f}s; "
+          f"artifacts in {out_dir}")
+
+
+def run_sequential(epochs, num_nodes, train_size):
+    out_dir = os.path.abspath(".demo_seq")
+    os.makedirs(out_dir, exist_ok=True)
+    data_path = os.path.join(out_dir, "ns_demo.npz")
+    if not os.path.exists(data_path):
+        make_sequential_dataset(data_path, train_size + 16, num_nodes)
+
+    config = {
+        "setup": {"seed": 7, "trainer_name": "sequential", "train": True,
+                  "compute_dtype": "bfloat16"},
+        "model": {
+            "latent_tokens_size": [32, 32],
+            "args": {
+                "magno": {"coord_dim": 2, "radius": 0.066, "hidden_size": 64,
+                          "mlp_layers": 3, "lifting_channels": 32},
+                "transformer": {"patch_size": 2, "hidden_size": 128,
+                                "num_layers": 3},
+            },
+        },
+        "dataset": {
+            "name": "ns_demo",
+            "metaname": "incompressible_fluids/NS-Gauss",
+            "base_path": out_dir,
+            "train_size": train_size, "val_size": 8, "test_size": 8,
+            "batch_size": 32, "shuffle": True,
+            "max_time_diff": 14, "time_step": 2,
+            "stepper_mode": "time_der", "predict_mode": "all",
+            "metric": "final_step",
+        },
+        "optimizer": {
+            "name": "adamw",
+            "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": epochs,
+                     "eval_every_eps": max(2, epochs // 10),
+                     "scheduler": "mix", "max_lr": 1e-3, "min_lr": 1e-4,
+                     "final_lr": 5e-5},
+        },
+        "path": {
+            "ckpt_path": os.path.join(out_dir, "ckpt"),
+            "loss_path": os.path.join(out_dir, "loss.png"),
+            "result_path": os.path.join(out_dir, "result.png"),
+            "database_path": os.path.join(out_dir, "db.csv"),
+        },
+    }
+    cfg_path = os.path.join(out_dir, "demo.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+
+    from gaot_tpu.cli import run_config
+
+    t0 = time.perf_counter()
+    run_config(cfg_path)
+    print(f"sequential demo complete in {time.perf_counter() - t0:.1f}s; "
           f"artifacts in {out_dir}")
 
 
