@@ -273,6 +273,11 @@ class DatasetConfig:
     test_size: int = 256
     coord_scaling: str = "per_dim_scaling"  # ['global_scaling', 'per_dim_scaling']
     batch_size: int = 64
+    # Keep split arrays (incl. vx graphs) resident on the accelerator and
+    # gather batches on device (new in gaot_tpu; the reference ships every
+    # batch host->device, src/trainer/static_trainer.py:167-170). Falls back
+    # to host batches above loader.DEVICE_DATA_BYTE_LIMIT.
+    device_data: bool = True
     num_workers: int = 0                # kept for config-compat; loading is in-process
     shuffle: bool = True
     use_metadata_stats: bool = False

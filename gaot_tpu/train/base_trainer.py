@@ -153,6 +153,13 @@ class BaseTrainer(ABC):
     def place_batch(self, batch: Dict) -> Dict:
         return shard_batch(batch, self.mesh, self.batch_size)
 
+    def place_batch_once(self, batch: Dict) -> Dict:
+        """place_batch unless the batch is already device-resident (the
+        training prefetch thread places batches ahead of time)."""
+        if any(isinstance(v, jax.Array) for v in batch.values()):
+            return batch
+        return self.place_batch(batch)
+
     def replicate_params(self):
         self.params = shard_params(self.params, self.mesh)
 
@@ -172,7 +179,8 @@ class BaseTrainer(ABC):
         # the device step; order/contents are identical to direct iteration.
         from ..data.loader import PrefetchLoader
 
-        train_iter = PrefetchLoader(self.train_loader)
+        train_iter = PrefetchLoader(self.train_loader,
+                                    place_fn=self.place_batch_once)
         start = time.perf_counter()
         samples_done = 0
         for epoch in range(args.epoch):

@@ -228,7 +228,7 @@ class SequentialTrainer(BaseTrainer):
     def train_step(self, batch) -> jax.Array:
         if self._train_fn is None:
             self._build_steps()
-        batch = self.place_batch(batch)
+        batch = self.place_batch_once(batch)
         coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
         self.params, self.opt_state, loss = self._train_fn(
             self.params, self.opt_state, self._next_rng(),
@@ -243,7 +243,7 @@ class SequentialTrainer(BaseTrainer):
             self._build_steps()
         total, count = 0.0, 0
         for batch in loader:
-            batch = self.place_batch(batch)
+            batch = self.place_batch_once(batch)
             coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
             total += float(self._eval_fn(self.params, batch["input"],
                                          batch["target"], batch["sample_mask"],

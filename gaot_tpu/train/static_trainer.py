@@ -96,7 +96,8 @@ class StaticTrainer(BaseTrainer):
                 loaders[name] = make_static_vx_loader(
                     splits[name]["c"], splits[name]["u"], g, cfg.batch_size,
                     shuffle=(cfg.shuffle and name == "train"),
-                    seed=self.setup_config.seed)
+                    seed=self.setup_config.seed,
+                    device_data=cfg.device_data)
         else:
             coord = self.data_processor.coord_scaler(splits["train"]["x"])
             self.coord = jnp.asarray(coord.astype(np.float32))
@@ -113,7 +114,8 @@ class StaticTrainer(BaseTrainer):
                 name: make_static_fx_loader(
                     splits[name]["c"], splits[name]["u"], cfg.batch_size,
                     shuffle=(cfg.shuffle and name == "train"),
-                    seed=self.setup_config.seed)
+                    seed=self.setup_config.seed,
+                    device_data=cfg.device_data)
                 for name in ["train", "val", "test"]
             }
         self.train_loader = loaders["train"]
@@ -214,7 +216,7 @@ class StaticTrainer(BaseTrainer):
     def train_step(self, batch) -> jax.Array:
         if self._train_fn is None:
             self._build_steps()
-        batch = self.place_batch(batch)
+        batch = self.place_batch_once(batch)
         coord, pndata, target, sm, nm, enc, dec, enc_t, dec_t = self._step_args(batch)
         self.params, self.opt_state, loss = self._train_fn(
             self.params, self.opt_state, self._next_rng(), coord, pndata,
@@ -228,7 +230,7 @@ class StaticTrainer(BaseTrainer):
             self._build_steps()
         total, count = 0.0, 0
         for batch in loader:
-            batch = self.place_batch(batch)
+            batch = self.place_batch_once(batch)
             _, loss = self._eval_fn(self.params, *self._step_args(batch))
             total += float(loss)
             count += 1

@@ -8,7 +8,8 @@ a user would on a real dataset.
 
 Usage: python scripts/train_demo.py [epochs] [num_nodes] [train_size] [sequential]
 Pass "sequential" as any argument to run the time-dependent trainer instead
-(NS-Gauss-like synthetic rollout data; autoregressive/direct/star eval).
+(NS-Gauss-like synthetic rollout data; autoregressive/direct/star eval), or
+"vx" for variable-coordinate (airfoil-like) data with per-sample graphs.
 """
 import json
 import os
@@ -56,13 +57,14 @@ def make_sequential_dataset(path, num_samples, num_nodes, num_timesteps=15,
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "sequential"]
-    sequential = "sequential" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("sequential", "vx")]
     epochs = int(args[0]) if len(args) > 0 else 40
     num_nodes = int(args[1]) if len(args) > 1 else 2048
     train_size = int(args[2]) if len(args) > 2 else 512
-    if sequential:
+    if "sequential" in sys.argv[1:]:
         return run_sequential(epochs, num_nodes, train_size)
+    if "vx" in sys.argv[1:]:
+        return run_vx(epochs, num_nodes, train_size)
 
     out_dir = os.path.abspath(".demo")
     os.makedirs(out_dir, exist_ok=True)
@@ -112,6 +114,68 @@ def main():
     t0 = time.perf_counter()
     run_config(cfg_path)
     print(f"demo complete in {time.perf_counter() - t0:.1f}s; "
+          f"artifacts in {out_dir}")
+
+
+def make_vx_dataset(path, num_samples, num_nodes, seed=0):
+    """Airfoil-like: per-sample scattered coords, 3 condition channels -> 1."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 2.5, (num_samples, 1, num_nodes, 2)).astype(np.float32)
+    c = rng.normal(size=(num_samples, 1, num_nodes, 3)).astype(np.float32)
+    u = (1.0 + 0.1 * c[..., :1]
+         + 0.05 * np.sin(x[..., :1]) * c[..., 1:2]).astype(np.float32)
+    np.savez(path, u=u, c=c, x=x)
+
+
+def run_vx(epochs, num_nodes, train_size):
+    out_dir = os.path.abspath(".demo_vx")
+    os.makedirs(out_dir, exist_ok=True)
+    data_path = os.path.join(out_dir, "airfoil_demo.npz")
+    if not os.path.exists(data_path):
+        make_vx_dataset(data_path, train_size + 32, num_nodes)
+
+    config = {
+        "setup": {"seed": 7, "trainer_name": "static", "train": True,
+                  "compute_dtype": "bfloat16"},
+        "model": {
+            "latent_tokens_size": [64, 64],
+            "args": {
+                "magno": {"coord_dim": 2, "radius": 0.055, "hidden_size": 64,
+                          "mlp_layers": 3, "lifting_channels": 64},
+                "transformer": {"patch_size": 2, "hidden_size": 256,
+                                "num_layers": 3},
+            },
+        },
+        "dataset": {
+            "name": "airfoil_demo",
+            "metaname": "compressible_flow/naca0012",
+            "base_path": out_dir,
+            "train_size": train_size, "val_size": 16, "test_size": 16,
+            "batch_size": 16, "shuffle": True,
+        },
+        "optimizer": {
+            "name": "adamw",
+            "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": epochs,
+                     "eval_every_eps": max(2, epochs // 10),
+                     "scheduler": "mix", "max_lr": 1e-3, "min_lr": 1e-4,
+                     "final_lr": 5e-5},
+        },
+        "path": {
+            "ckpt_path": os.path.join(out_dir, "ckpt"),
+            "loss_path": os.path.join(out_dir, "loss.png"),
+            "result_path": os.path.join(out_dir, "result.png"),
+            "database_path": os.path.join(out_dir, "db.csv"),
+        },
+    }
+    cfg_path = os.path.join(out_dir, "demo.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+
+    from gaot_tpu.cli import run_config
+
+    t0 = time.perf_counter()
+    run_config(cfg_path)
+    print(f"vx demo complete in {time.perf_counter() - t0:.1f}s; "
           f"artifacts in {out_dir}")
 
 
