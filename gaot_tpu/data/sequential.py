@@ -264,9 +264,98 @@ class DynamicPairBatcher:
         return batch
 
 
+    def make_device_get_batch(self):
+        """Device-resident variant of get_batch: u/c/graph arrays live on the
+        accelerator and time-pair inputs/targets are assembled in one jitted
+        call per batch (see loader._device_gather_get_batch for why)."""
+        import jax
+        import jax.numpy as jnp
+
+        bufs = {"u": self.u}
+        if self.c is not None:
+            bufs["c"] = self.c
+        if self.graphs is not None:
+            bufs.update(_graph_buffers(self.graphs))
+        elif self.x is not None:
+            bufs["x_seq"] = self.x
+        dev = jax.device_put(bufs)
+
+        t_in = jnp.asarray(self.t_in)
+        t_out = jnp.asarray(self.t_out)
+        start_norm = jnp.asarray(self.start_norm, dtype=jnp.float32)
+        diff_norm = jnp.asarray(self.diff_norm, dtype=jnp.float32)
+        time_diffs = jnp.asarray(self.time_diffs, dtype=jnp.float32)
+        num_pairs = self.num_pairs
+        stepper = self.stepper_mode
+        stats = self.stats
+        dtype = self.u.dtype
+
+        @jax.jit
+        def assemble(dev, flat_idx):
+            s_idx = flat_idx // num_pairs
+            p_idx = flat_idx % num_pairs
+            ti = t_in[p_idx]
+            to = t_out[p_idx]
+            u_in = dev["u"][s_idx, ti]
+            u_out = dev["u"][s_idx, to]
+            us = stats["u"]
+            u_in_norm = (u_in - us["mean"]) / us["std"]
+            feats = [u_in_norm]
+            if "c" in dev:
+                c_in = dev["c"][s_idx, ti]
+                if "c" in stats:
+                    c_in = (c_in - stats["c"]["mean"]) / stats["c"]["std"]
+                feats.append(c_in)
+            n = u_in.shape[1]
+            ones = jnp.ones((flat_idx.shape[0], n, 1), dtype=u_in.dtype)
+            feats.append(ones * start_norm[p_idx][:, None, None])
+            feats.append(ones * diff_norm[p_idx][:, None, None])
+            inputs = jnp.concatenate(feats, axis=-1)
+
+            if stepper == "output":
+                target = (u_out - us["mean"]) / us["std"]
+            elif stepper == "residual":
+                r = stats["res"]
+                target = (u_out - u_in - r["mean"]) / r["std"]
+            elif stepper == "time_der":
+                d = stats["der"]
+                dt = time_diffs[p_idx][:, None, None]
+                target = ((u_out - u_in) / dt - d["mean"]) / d["std"]
+            else:
+                raise ValueError(f"Unsupported stepper_mode: {stepper}")
+
+            batch = {"input": inputs.astype(dtype), "target": target.astype(dtype)}
+            for k in dev:
+                if k in ("u", "c"):
+                    continue
+                if k == "x_seq":
+                    batch["x"] = dev[k][s_idx, ti]
+                else:
+                    batch[k] = dev[k][s_idx]
+            return batch
+
+        def get_batch(idx):
+            return dict(assemble(dev, jnp.asarray(idx, dtype=jnp.int32)))
+
+        return get_batch
+
+
 def make_sequential_loader(batcher: DynamicPairBatcher, batch_size: int,
-                           shuffle: bool = False, seed: int = 0) -> BatchLoader:
-    return BatchLoader(len(batcher), batch_size, batcher.get_batch,
+                           shuffle: bool = False, seed: int = 0,
+                           device_data: bool = False) -> BatchLoader:
+    get_batch = batcher.get_batch
+    if device_data:
+        from .loader import DEVICE_DATA_BYTE_LIMIT
+
+        total = batcher.u.nbytes + (batcher.c.nbytes if batcher.c is not None else 0)
+        if batcher.graphs is not None:
+            total += sum(v.nbytes for v in _graph_buffers(batcher.graphs).values())
+        if total <= DEVICE_DATA_BYTE_LIMIT:
+            try:
+                get_batch = batcher.make_device_get_batch()
+            except Exception:
+                get_batch = batcher.get_batch
+    return BatchLoader(len(batcher), batch_size, get_batch,
                        shuffle=shuffle, seed=seed)
 
 
@@ -319,19 +408,25 @@ class RolloutTestBatcher:
         return batch
 
 
+def _graph_buffers(graphs) -> Dict[str, np.ndarray]:
+    """Split-wide per-sample graph arrays keyed like the static vx loader."""
+    bufs = {"x": graphs.coords, "node_mask": graphs.node_mask}
+    for s, g in enumerate(graphs.encoder):
+        bufs[f"enc_idx_{s}"] = g.indices
+        bufs[f"enc_mask_{s}"] = g.mask
+    for s, g in enumerate(graphs.decoder):
+        bufs[f"dec_idx_{s}"] = g.indices
+        bufs[f"dec_mask_{s}"] = g.mask
+    for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
+        for s, t in enumerate(tgs or []):
+            bufs[f"{prefix}_tpos_{s}"] = t.edge_pos
+            bufs[f"{prefix}_tq_{s}"] = t.query
+            bufs[f"{prefix}_tmask_{s}"] = t.mask
+    return bufs
+
+
 def _attach_vx_graphs(batch: Dict, graphs, sample_idx: np.ndarray) -> None:
     """Attach per-sample padded graph arrays (same keys as the static vx
     loader, data/loader.py)."""
-    batch["x"] = graphs.coords[sample_idx]
-    batch["node_mask"] = graphs.node_mask[sample_idx]
-    for s, g in enumerate(graphs.encoder):
-        batch[f"enc_idx_{s}"] = g.indices[sample_idx]
-        batch[f"enc_mask_{s}"] = g.mask[sample_idx]
-    for s, g in enumerate(graphs.decoder):
-        batch[f"dec_idx_{s}"] = g.indices[sample_idx]
-        batch[f"dec_mask_{s}"] = g.mask[sample_idx]
-    for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
-        for s, t in enumerate(tgs or []):
-            batch[f"{prefix}_tpos_{s}"] = t.edge_pos[sample_idx]
-            batch[f"{prefix}_tq_{s}"] = t.query[sample_idx]
-            batch[f"{prefix}_tmask_{s}"] = t.mask[sample_idx]
+    for k, v in _graph_buffers(graphs).items():
+        batch[k] = v[sample_idx]

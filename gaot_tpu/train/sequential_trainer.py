@@ -131,7 +131,8 @@ class SequentialTrainer(BaseTrainer):
             loaders[name] = make_sequential_loader(
                 batcher, cfg.batch_size,
                 shuffle=(cfg.shuffle and name == "train"),
-                seed=self.setup_config.seed)
+                seed=self.setup_config.seed,
+                device_data=cfg.device_data)
         self.train_loader = loaders["train"]
         self.val_loader = loaders["val"]
         self.test_loader = loaders["test"]
