@@ -29,11 +29,17 @@ void copy_range(const char* src, int64_t row_bytes, const int64_t* idx,
 
 extern "C" {
 
-// dst[i, :] = src[idx[i], :] for i in [0, n_idx); rows are row_bytes wide.
-// Returns 0 on success.
-int gaot_gather_rows(const void* src, int64_t row_bytes, const int64_t* idx,
-                     int64_t n_idx, void* dst, int num_threads) {
-  if (row_bytes <= 0 || n_idx < 0) return 1;
+// dst[i, :] = src[idx[i], :] for i in [0, n_idx); rows are row_bytes wide,
+// src has src_rows rows. Returns 0 on success, 1 on bad arguments, 2 if any
+// index is out of range (preserving NumPy's IndexError contract instead of
+// reading out of bounds).
+int gaot_gather_rows(const void* src, int64_t src_rows, int64_t row_bytes,
+                     const int64_t* idx, int64_t n_idx, void* dst,
+                     int num_threads) {
+  if (row_bytes <= 0 || n_idx < 0 || src_rows < 0) return 1;
+  for (int64_t i = 0; i < n_idx; ++i) {
+    if (idx[i] < 0 || idx[i] >= src_rows) return 2;
+  }
   const char* s = static_cast<const char*>(src);
   char* d = static_cast<char*>(dst);
   int hw = static_cast<int>(std::thread::hardware_concurrency());

@@ -89,10 +89,23 @@ def _device_gather_get_batch(buffers: Dict[str, np.ndarray]):
     return get_batch
 
 
+def _device_data_usable() -> bool:
+    """Device-resident buffers are placed on local default devices with no
+    mesh sharding; that is valid for single-host runs (jit reshards batches
+    as needed) but not for multi-host data parallelism, where the jitted step
+    cannot consume non-fully-addressable single-process inputs."""
+    try:
+        import jax
+
+        return jax.process_count() == 1
+    except Exception:
+        return False
+
+
 def _buffers_loader(buffers: Dict[str, np.ndarray], num_samples: int,
                     batch_size: int, shuffle: bool, seed: int,
                     device_data: bool) -> BatchLoader:
-    if device_data:
+    if device_data and _device_data_usable():
         total = sum(v.nbytes for v in buffers.values())
         if total <= DEVICE_DATA_BYTE_LIMIT:
             try:
@@ -201,11 +214,23 @@ class PrefetchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                yield item
+        finally:
+            # If the consumer abandons iteration (exception/break), drain the
+            # queue so the worker isn't blocked on q.put forever holding
+            # device-placed batches.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except Exception:
+                    import time as _time
+
+                    _time.sleep(0.01)
+            t.join()
         if err:
             raise err[0]

@@ -345,7 +345,10 @@ def make_sequential_loader(batcher: DynamicPairBatcher, batch_size: int,
                            device_data: bool = False) -> BatchLoader:
     get_batch = batcher.get_batch
     if device_data:
-        from .loader import DEVICE_DATA_BYTE_LIMIT
+        from .loader import DEVICE_DATA_BYTE_LIMIT, _device_data_usable
+
+        device_data = _device_data_usable()
+    if device_data:
 
         total = batcher.u.nbytes + (batcher.c.nbytes if batcher.c is not None else 0)
         if batcher.graphs is not None:

@@ -45,8 +45,8 @@ class NativeLib:
         ]
         self._lib.gaot_gather_rows.restype = ctypes.c_int
         self._lib.gaot_gather_rows.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
 
     def radius_search(self, data: np.ndarray, queries: np.ndarray,
@@ -81,9 +81,12 @@ class NativeLib:
         out = np.empty((idx.shape[0],) + src.shape[1:], dtype=src.dtype)
         row_bytes = src.strides[0] if src.ndim > 1 else src.itemsize
         rc = self._lib.gaot_gather_rows(
-            src.ctypes.data_as(ctypes.c_void_p), row_bytes,
+            src.ctypes.data_as(ctypes.c_void_p), src.shape[0], row_bytes,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             idx.shape[0], out.ctypes.data_as(ctypes.c_void_p), num_threads)
+        if rc == 2:
+            raise IndexError(
+                f"gather_rows: index out of range for {src.shape[0]} rows")
         if rc != 0:
             raise RuntimeError(f"gaot_gather_rows failed with code {rc}")
         return out
@@ -128,6 +131,14 @@ def get_native_lib() -> Optional[NativeLib]:
             return None
         try:
             _lib_wrapper = NativeLib(ctypes.CDLL(_SO))
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale cached .so missing newer symbols (e.g.
+            # built before batch_gather.cc existed with equal mtimes) —
+            # rebuild once, else fall back to the pure-Python paths.
             _lib_wrapper = None
+            if _build():
+                try:
+                    _lib_wrapper = NativeLib(ctypes.CDLL(_SO))
+                except (OSError, AttributeError):
+                    _lib_wrapper = None
         return _lib_wrapper

@@ -152,10 +152,13 @@ def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
         return gqa_attention_xla(q, k, v)
     # The fp32 [Qt, S] logits tile must fit the ~16 MB scoped-VMEM budget.
+    # Search downward in 128-row steps: _supported guarantees s % 128 == 0,
+    # so this always terminates at a valid tile (halving could degenerate to
+    # 1-row tiles for non-power-of-two S).
     s = q.shape[1]
     qb = min(q_block, s, max(128, (1 << 21) // s // 128 * 128))
     while s % qb:
-        qb //= 2
+        qb -= 128
     return _flash_diff(q, k, v, qb)
 
 
@@ -209,10 +212,11 @@ def _flash_backward(q, k, v, do):
         )(qh, kh, vh, doh)
     else:
         # ~5 fp32 [Qt, S] tile buffers live at once (logits/p/dp/ds + casts);
-        # keep them within the ~16 MB scoped-VMEM budget.
+        # keep them within the ~16 MB scoped-VMEM budget. 64-row steps:
+        # s % 128 == 0 (checked by _bwd_supported) so qt=64 always divides s.
         qt = min(s, max(64, (1 << 18) // s // 64 * 64))
         while s % qt:
-            qt //= 2
+            qt -= 64
 
         def kv_index2(bh, j):
             return ((bh // h) * hkv + (bh % h) // group, 0, 0)

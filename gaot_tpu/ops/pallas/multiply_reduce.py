@@ -37,7 +37,10 @@ def _tile_q(q: int, w: int, itemsize: int) -> int:
         if q % t == 0:
             return t
         t -= 8
-    return q if q % 8 == 0 or q <= 8 else 0
+    # No tile of >= 8 rows fits the budget (or divides q): only a q that is
+    # itself a single small block is acceptable — never return a tile larger
+    # than the budget.
+    return q if q <= min(budget, 8) else 0
 
 
 def supported(q: int, b: int, c: int, itemsize: int = 2) -> bool:

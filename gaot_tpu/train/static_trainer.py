@@ -247,7 +247,7 @@ class StaticTrainer(BaseTrainer):
         all_errors = []
         last = None
         for batch in self.test_loader:
-            placed = self.place_batch(batch)
+            placed = self.place_batch_once(batch)
             pred, _ = self._eval_fn(self.params, *self._step_args(placed))
             pred = np.asarray(pred, dtype=np.float64)
             target = np.asarray(batch["u"], dtype=np.float64)

@@ -131,3 +131,41 @@ def test_gaot_with_tgraphs_matches_without():
     for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_nbc_pallas_consumer_integration_matches_einsum(monkeypatch):
+    """The K-major transposes wiring the Pallas consumers into the nbc custom
+    VJP (the path that runs on TPU) matches the einsum fallback — exercised
+    on CPU via interpret mode by forcing the gate open."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import gaot_tpu.ops.gather_apply as ga
+
+    rng = np.random.default_rng(7)
+    b, n, q, k, c = 8, 64, 32, 4, 16       # W = b*c = 128, valid tilings
+    src = rng.uniform(-1, 1, (n, 2))
+    dst = rng.uniform(-1, 1, (q, 2))
+    g = pad_csr(*radius_search(src, dst, 0.9), k=k)
+    t = transpose_graph(g, n)
+    coef = jnp.asarray(rng.normal(size=(q, k, c)).astype(np.float32) * g.mask[..., None])
+    f = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    def loss(coef, f):
+        return jnp.sum(apply_graph_transform(coef, f, g, t) ** 2)
+
+    # Reference: einsum fallback (gate closed on CPU)
+    out_ref = apply_graph_transform(coef, f, g, t)
+    gc_ref, gf_ref = jax.grad(loss, argnums=(0, 1))(coef, f)
+
+    monkeypatch.setattr(ga, "_pallas_consumers_ok", lambda *a: True)
+    with pltpu.force_tpu_interpret_mode():
+        out = apply_graph_transform(coef, f, g, t)
+        gc, gf = jax.grad(loss, argnums=(0, 1))(coef, f)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
+                               rtol=1e-4, atol=1e-5)
+    valid = g.mask[..., None]
+    np.testing.assert_allclose(np.asarray(gc) * valid, np.asarray(gc_ref) * valid,
+                               rtol=1e-4, atol=1e-5)
