@@ -24,7 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BLOCK_BYTES = 2 << 20  # target per-input block size
+# Target per-input block size. Live scoped-VMEM is ~8x this (double-buffered
+# gath/coef/out blocks + the fp32 accumulator scratch), against the ~16 MB
+# scoped budget — 2 MB blocks OOM'd at 3D shapes with fp32 coef.
+_VMEM_BLOCK_BYTES = 1 << 20
 
 
 def _tile_q(q: int, w: int, itemsize: int) -> int:
