@@ -111,6 +111,13 @@ def main():
 
     import jax
 
+    # Persistent compile cache: repeat runs skip XLA compiles where the
+    # backend supports it (always on CPU; best-effort through remote tunnels).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/gaot_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     log(f"devices: {jax.devices()}")
     log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
     train_step, params, opt_state, pndata, target = build_workload(
