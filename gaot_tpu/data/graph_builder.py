@@ -24,6 +24,7 @@ from ..ops.neighbor_search import knn_search, radius_search
 from ..ops.padding import (
     PaddedGraph,
     TransposeGraph,
+    _round_up,
     pad_csr,
     repad,
     stack_graphs,
@@ -33,10 +34,6 @@ from ..ops.padding import (
 from ..utils.scaling import rescale
 
 SENTINEL = 10.0  # padded-node coordinate: farther than any radius in [-1,1] space
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((max(x, 1) + m - 1) // m) * m
 
 
 @dataclass
@@ -153,7 +150,8 @@ class GraphBuilder:
     # -- disk cache (CachedGraphBuilder equivalent, reference
     # graph_builder.py:177-285) --------------------------------------------
     def _cache_path(self, cache_dir: str, dataset: str, radius: float,
-                    scales: Sequence[float], num_samples: Dict[str, int]) -> str:
+                    scales: Sequence[float], num_samples: Dict[str, int],
+                    with_transpose: bool = False) -> str:
         import hashlib
         import json
 
@@ -162,6 +160,7 @@ class GraphBuilder:
             "strategy": self.strategy, "knn_k": self.knn_k,
             "pad": self.pad_multiple, "cap": self.neighbor_cap,
             "node_pad": self.node_pad_multiple, "samples": num_samples,
+            "tgraphs": with_transpose,
         }, sort_keys=True)
         digest = hashlib.sha1(key.encode()).hexdigest()[:16]
         return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
@@ -170,11 +169,15 @@ class GraphBuilder:
                                    data_splits: Dict, latent_queries: np.ndarray,
                                    radius: float, scales: Sequence[float],
                                    build_train: bool = True,
-                                   model_transform=None):
-        """build_all_vx_graphs with an on-disk npz cache."""
+                                   model_transform=None,
+                                   with_transpose: bool = False):
+        """build_all_vx_graphs with an on-disk npz cache (incl. transpose
+        graphs when requested; with_transpose is part of the cache key)."""
         counts = {s: int(len(data_splits[s]["x"])) for s in data_splits
                   if data_splits[s].get("x") is not None}
-        path = self._cache_path(cache_dir, dataset, radius, scales, counts)
+        path = self._cache_path(cache_dir, dataset, radius, scales, counts,
+                                with_transpose=with_transpose)
+        num_scales = len(scales)
         if os.path.exists(path):
             with np.load(path, allow_pickle=False) as z:
                 out = {}
@@ -182,7 +185,15 @@ class GraphBuilder:
                     if f"{split}_coords" not in z:
                         out[split] = None
                         continue
-                    num_scales = len(scales)
+
+                    def tgs(prefix):
+                        if f"{split}_{prefix}_tpos_0" not in z:
+                            return None
+                        return [TransposeGraph(z[f"{split}_{prefix}_tpos_{i}"],
+                                               z[f"{split}_{prefix}_tq_{i}"],
+                                               z[f"{split}_{prefix}_tmask_{i}"])
+                                for i in range(num_scales)]
+
                     out[split] = VxSplitGraphs(
                         coords=z[f"{split}_coords"],
                         node_mask=z[f"{split}_node_mask"],
@@ -192,11 +203,14 @@ class GraphBuilder:
                         decoder=[PaddedGraph(z[f"{split}_dec_idx_{i}"],
                                              z[f"{split}_dec_mask_{i}"])
                                  for i in range(num_scales)],
+                        encoder_t=tgs("enc"),
+                        decoder_t=tgs("dec"),
                     )
                 return out
         out = self.build_all_vx_graphs(data_splits, latent_queries, radius,
                                        scales, build_train=build_train,
-                                       model_transform=model_transform)
+                                       model_transform=model_transform,
+                                       with_transpose=with_transpose)
         os.makedirs(cache_dir, exist_ok=True)
         payload = {}
         for split, g in out.items():
@@ -209,6 +223,11 @@ class GraphBuilder:
                 payload[f"{split}_enc_mask_{i}"] = e.mask
                 payload[f"{split}_dec_idx_{i}"] = d.indices
                 payload[f"{split}_dec_mask_{i}"] = d.mask
+            for prefix, tgs in (("enc", g.encoder_t), ("dec", g.decoder_t)):
+                for i, t in enumerate(tgs or []):
+                    payload[f"{split}_{prefix}_tpos_{i}"] = t.edge_pos
+                    payload[f"{split}_{prefix}_tq_{i}"] = t.query
+                    payload[f"{split}_{prefix}_tmask_{i}"] = t.mask
         np.savez(path, **payload)
         return out
 

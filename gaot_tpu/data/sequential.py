@@ -46,9 +46,12 @@ def compute_sequential_stats(u_data: np.ndarray, c_data: Optional[np.ndarray],
         stats["c"] = {"mean": flat.mean(0), "std": flat.std(0) + EPSILON}
 
     if use_time_norm:
+        # Clamp to the timesteps actually present (datasets can be shorter
+        # than max_time_diff+1).
+        t_lim = min(max_time_diff, len(t_values) - 1)
         t_in, t_out = [], []
-        for lag in range(time_step, max_time_diff + 1, time_step):
-            for i in range(0, max_time_diff - lag + 1, time_step):
+        for lag in range(time_step, t_lim + 1, time_step):
+            for i in range(0, t_lim - lag + 1, time_step):
                 t_in.append(i)
                 t_out.append(i + lag)
         t_in = np.asarray(t_in)
@@ -60,7 +63,9 @@ def compute_sequential_stats(u_data: np.ndarray, c_data: Optional[np.ndarray],
         stats["time_diffs"] = {"mean": time_diffs.mean(),
                                "std": time_diffs.std() + EPSILON}
 
-    n_sub = min(int(len(u_data) * sample_rate), len(u_data))
+    # At least one sample: tiny datasets with the default sample_rate=0.1
+    # would otherwise skip the residual/derivative stats the stepper needs.
+    n_sub = min(max(1, int(len(u_data) * sample_rate)), len(u_data))
     if n_sub > 0:
         t_lim = min(max_time_diff, u_data.shape[1] - 1)
         u_sub = u_data[:n_sub, :t_lim + 1]                       # [S, T, N, V]

@@ -115,7 +115,17 @@ def radius_search(data, queries, radius: float, method: str = "auto") -> CSR:
 
 
 def knn_search(data, queries, k: int, method: str = "auto") -> CSR:
-    """k nearest neighbors of each query, as CSR (every row has exactly k)."""
+    """k nearest neighbors of each query, as CSR (every row has exactly k).
+
+    All backends route to the scipy cKDTree (multi-threaded): kNN has no
+    native/grid implementation, so non-default method values are accepted
+    with a warning instead of being silently ignored.
+    """
+    if method not in ("auto", "kdtree"):
+        import warnings
+
+        warnings.warn(f"knn_search: method '{method}' is not implemented for "
+                      "kNN; using the multi-threaded KD-tree backend")
     data = _as2d(data)
     queries = _as2d(queries)
     k = min(k, data.shape[0])

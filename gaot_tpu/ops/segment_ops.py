@@ -61,6 +61,9 @@ def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jn
     shifted = jnp.where(mask, scores, neg)
     maxes = jnp.max(shifted, axis=axis, keepdims=True)
     maxes = jnp.where(jnp.isfinite(maxes), maxes, 0)
-    exp = jnp.where(mask, jnp.exp(scores - maxes), 0)
+    # Exponentiate the masked+shifted scores, NOT the raw ones: for a row
+    # with zero valid entries exp(raw - 0) can overflow to inf, and the
+    # where-VJP then multiplies the zero cotangent by inf -> NaN gradients.
+    exp = jnp.where(mask, jnp.exp(jnp.where(mask, scores, maxes) - maxes), 0)
     denom = jnp.sum(exp, axis=axis, keepdims=True)
     return exp / jnp.maximum(denom, jnp.finfo(scores.dtype).tiny)

@@ -70,8 +70,14 @@ class BaseTrainer(ABC):
         init_distributed(self.setup_config)
         self.mesh = None  # built after the dataset fixes the batch size
 
-        seed = self.setup_config.seed + jax.process_index()
-        np.random.seed(seed)
+        # One GLOBAL seed for params and the train-step rng: params are
+        # placed as replicated global arrays and the step rng is a replicated
+        # operand of the SPMD train step, so every process must hold
+        # identical values (a per-process offset — the reference's
+        # seed + rank, base_trainer.py:60 — would silently give each host a
+        # different model replica). Host-local numpy randomness may differ.
+        seed = self.setup_config.seed
+        np.random.seed(seed + jax.process_index())
         self.rng_key = jax.random.key(seed)
 
         self.dtype = _DTYPES[self.setup_config.dtype]

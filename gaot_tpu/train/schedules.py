@@ -90,5 +90,12 @@ def make_optimizer(config: OptimizerConfig,
     else:
         raise ValueError(f"Unsupported optimizer: {config.name}")
     if config.args.loss_scale != 1.0:
-        tx = optax.chain(optax.scale(1.0 / config.args.loss_scale), tx)
+        # bf16-compute / fp32-param training needs no loss scaling, and the
+        # reference ignores the knob too (optimizers.py: loss_scale unused);
+        # applying only a grad-side scale would distort AdamW's eps/weight-
+        # decay balance rather than protect against overflow.
+        import warnings
+
+        warnings.warn("optimizer.args.loss_scale is accepted for config "
+                      "compatibility but ignored (matches the reference)")
     return tx, schedule

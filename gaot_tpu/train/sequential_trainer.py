@@ -36,12 +36,20 @@ from ..utils.plotting import create_sequential_animation, plot_estimates
 from .base_trainer import BaseTrainer
 from .static_trainer import masked_mse
 
-PREDICT_MODE_INDICES = {
-    # Reference sequential_trainer.py:380-387
-    "autoregressive": np.arange(0, 15, 2),
-    "direct": np.array([0, 14]),
-    "star": np.array([0, 4, 8, 12, 14]),
-}
+def predict_mode_indices(mode: str, max_time_diff: int,
+                         time_step: int) -> np.ndarray:
+    """Rollout time indices per predict mode (reference
+    sequential_trainer.py:380-387, which hard-codes max_time_diff=14,
+    time_step=2: autoregressive arange(0,15,2), direct [0,14],
+    star [0,4,8,12,14]); generalized so shorter trajectories
+    (max_time_diff < 14) evaluate instead of indexing out of bounds."""
+    t = max_time_diff
+    if mode == "direct":
+        return np.array([0, t])
+    if mode == "star":
+        idx = np.arange(0, t + 1, 2 * time_step)
+        return idx if idx[-1] == t else np.append(idx, t)
+    return np.arange(0, t + 1, time_step)           # autoregressive
 
 
 class SequentialTrainer(BaseTrainer):
@@ -146,7 +154,12 @@ class SequentialTrainer(BaseTrainer):
             config=model_config,
             dtype=self.compute_dtype,
         )
-        batch = next(iter(self.test_loader))
+        # Shape batch for init: any non-empty loader works (test_size may
+        # be 0 for training-only configs).
+        loader = next(l for l in (self.test_loader, self.val_loader,
+                                  self.train_loader)
+                      if l is not None and len(l) > 0)
+        batch = next(iter(loader))
         pndata, cond = self._split_input(jnp.asarray(batch["input"]))
         coord, enc, dec, _, _, _ = self._graph_args(batch)
         self.params = jax.jit(self.model.init)(
@@ -279,7 +292,8 @@ class SequentialTrainer(BaseTrainer):
 
         vx = self.coord_mode == "vx"
         for mode in modes:
-            time_indices = PREDICT_MODE_INDICES.get(mode, PREDICT_MODE_INDICES["autoregressive"])
+            t_lim = min(cfg.max_time_diff, test["u"].shape[1] - 1)
+            time_indices = predict_mode_indices(mode, t_lim, cfg.time_step)
             batcher = RolloutTestBatcher(test["u"], test["c"], time_indices,
                                          self.stats,
                                          graphs=self.vx_graphs["test"] if vx else None)

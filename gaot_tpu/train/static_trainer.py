@@ -131,7 +131,12 @@ class StaticTrainer(BaseTrainer):
             config=model_config,
             dtype=self.compute_dtype,
         )
-        batch = next(iter(self.test_loader))
+        # Shape batch for init: any non-empty loader works (test_size may
+        # be 0 for training-only configs).
+        loader = next(l for l in (self.test_loader, self.val_loader,
+                                  self.train_loader)
+                      if l is not None and len(l) > 0)
+        batch = next(iter(loader))
         coord, pndata, enc, dec, enc_t, dec_t = self._model_args(batch)
         # jit the init: unjitted Flax init runs op-by-op, which is very
         # slow on remote/tunneled devices (one dispatch round-trip per op).
@@ -267,7 +272,11 @@ class StaticTrainer(BaseTrainer):
             errs = compute_batch_errors(target_denorm[:, None], pred_denorm[:, None],
                                         self.metadata)
             all_errors.append(errs)
-            last = (batch, pred_denorm, target_denorm)
+            # For the example plot, coords/c must come from the same KEPT
+            # sample as pred/target (the final partial batch is padded with
+            # wrap-around samples whose mask is False).
+            keep_idx = np.flatnonzero(keep)
+            last = (batch, pred_denorm, target_denorm, int(keep_idx[-1]))
         final_metric = compute_final_metric(np.concatenate(all_errors, axis=0))
         self.datarow["relative error (direct)"] = final_metric
         print(f"Relative error: {final_metric}")
@@ -277,16 +286,16 @@ class StaticTrainer(BaseTrainer):
     def _plot_test_example(self, last):
         if last is None:
             return
-        batch, pred_denorm, target_denorm = last
+        batch, pred_denorm, target_denorm, bidx = last
         dp = self.data_processor
         try:
             if self.coord_mode == "fx":
                 coords = dp.coord_scaler.inverse_transform(np.asarray(self.coord))
             else:
-                coords = dp.coord_scaler.inverse_transform(np.asarray(batch["x"][-1]))
+                coords = dp.coord_scaler.inverse_transform(np.asarray(batch["x"][bidx]))
             c = batch.get("c")
             if c is not None and dp.c_mean is not None:
-                c_denorm = np.asarray(c[-1]) * dp.c_std + dp.c_mean
+                c_denorm = np.asarray(c[bidx]) * dp.c_std + dp.c_mean
             else:
                 c_denorm = None
             fig = plot_estimates(

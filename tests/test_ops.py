@@ -145,3 +145,19 @@ def test_edge_drop_max_neighbors():
     assert (out.sum(axis=1)[1:] == 8).all()
     assert out[0].sum() == 4
     assert (out <= mask).all()
+
+
+def test_masked_softmax_all_masked_row_has_finite_grad():
+    """Rows with zero valid entries must yield zero weights AND finite
+    gradients (exp of unmasked scores used to overflow -> 0*inf = NaN)."""
+    from gaot_tpu.ops.segment_ops import masked_softmax
+
+    scores = jnp.asarray([[5.0, -2.0, 100.0], [1.0, 2.0, 3.0]])
+    mask = jnp.asarray([[False, False, False], [True, True, False]])
+
+    out = masked_softmax(scores, mask)
+    assert np.allclose(np.asarray(out[0]), 0.0)
+    np.testing.assert_allclose(float(jnp.sum(out[1])), 1.0, rtol=1e-6)
+
+    g = jax.grad(lambda s: jnp.sum(masked_softmax(s, mask) ** 2))(scores)
+    assert np.isfinite(np.asarray(g)).all()

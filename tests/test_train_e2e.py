@@ -205,3 +205,49 @@ def test_sequential_trainer_vx_end_to_end(tmp_path):
         assert np.isfinite(trainer.datarow["relative error (autoregressive)"])
     finally:
         del DATASET_METADATA[metaname]
+
+
+def test_sequential_short_trajectory_and_no_test_split(tmp_path):
+    """max_time_diff < 14 must evaluate (predict-mode indices adapt) and
+    test_size=0 must not break model init (shape batch falls back)."""
+    from gaot_tpu.train import SequentialTrainer, StaticTrainer
+
+    make_sequential_fx_dataset(str(tmp_path / "ns_short.npz"), num_timesteps=11)
+    config = {
+        "setup": {"seed": 0, "trainer_name": "sequential", "train": True},
+        "model": TINY_MODEL,
+        "dataset": {
+            "name": "ns_short",
+            "metaname": "incompressible_fluids/NS-Gauss",
+            "base_path": str(tmp_path),
+            "train_size": 8, "val_size": 2, "test_size": 3,
+            "batch_size": 4, "shuffle": True,
+            "max_time_diff": 10, "time_step": 2,
+            "stepper_mode": "time_der", "predict_mode": "all",
+            "metric": "final_step",
+        },
+        "optimizer": {**TINY_OPT, "args": {**TINY_OPT["args"], "epoch": 1}},
+        "path": _paths(tmp_path, "seq_short"),
+    }
+    trainer = SequentialTrainer(config)
+    trainer.fit(verbose=False)
+    for key in ["relative error (direct)", "relative error (auto2)"]:
+        assert np.isfinite(trainer.datarow[key])
+
+    make_static_fx_dataset(str(tmp_path / "poisson_notest.npz"))
+    config2 = {
+        "setup": {"seed": 0, "trainer_name": "static", "train": True},
+        "model": TINY_MODEL,
+        "dataset": {
+            "name": "poisson_notest",
+            "metaname": "elliptic_pdes/Poisson-Gauss",
+            "base_path": str(tmp_path),
+            "train_size": 16, "val_size": 4, "test_size": 0,
+            "batch_size": 8,
+        },
+        "optimizer": {**TINY_OPT, "args": {**TINY_OPT["args"], "epoch": 1}},
+        "path": _paths(tmp_path, "notest"),
+    }
+    t2 = StaticTrainer(config2)          # init_model must not crash
+    loss = float(t2.train_step(next(iter(t2.train_loader))))
+    assert np.isfinite(loss)
