@@ -251,3 +251,40 @@ def test_sequential_short_trajectory_and_no_test_split(tmp_path):
     t2 = StaticTrainer(config2)          # init_model must not crash
     loss = float(t2.train_step(next(iter(t2.train_loader))))
     assert np.isfinite(loss)
+
+
+@pytest.mark.parametrize("mode", ["fx", "vx"])
+def test_multiscale_trainer_with_transpose_backward(tmp_path, mode):
+    """scales > 1 (+ learned scale weights) through the full trainer with the
+    default transpose-graph backward — per-scale graphs AND per-scale
+    transpose graphs must line up."""
+    from gaot_tpu.train import StaticTrainer
+
+    if mode == "fx":
+        make_static_fx_dataset(str(tmp_path / "ms.npz"))
+        metaname = "elliptic_pdes/Poisson-Gauss"
+    else:
+        make_static_vx_dataset(str(tmp_path / "ms.npz"))
+        metaname = "compressible_flow/naca0012"
+    model = {
+        **TINY_MODEL,
+        "args": {
+            **TINY_MODEL["args"],
+            "magno": {**TINY_MODEL["args"]["magno"],
+                      "scales": [1.0, 2.0], "use_scale_weights": True},
+        },
+    }
+    config = {
+        "setup": {"seed": 0, "trainer_name": "static", "train": True},
+        "model": model,
+        "dataset": {
+            "name": "ms", "metaname": metaname, "base_path": str(tmp_path),
+            "train_size": 8, "val_size": 2, "test_size": 2, "batch_size": 4,
+        },
+        "optimizer": {**TINY_OPT, "args": {**TINY_OPT["args"], "epoch": 1}},
+        "path": _paths(tmp_path, f"ms_{mode}"),
+    }
+    trainer = StaticTrainer(config)
+    assert trainer.coord_mode == mode
+    trainer.fit(verbose=False)
+    assert np.isfinite(trainer.datarow["relative error (direct)"])
