@@ -84,7 +84,9 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     tx, _ = make_optimizer(opt_cfg, steps_per_epoch=32)
     opt_state = tx.init(params)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng_key, pndata, target):
         def loss_fn(p):
             pred = model.apply(p, latent_j, coords_j, pndata, enc, dec,

@@ -26,6 +26,7 @@ def main(b=64, n=8192, q=4096, k=24, c=64, dtype_name="bfloat16"):
     from gaot_tpu.ops.padding import PaddedGraph, transpose_graph
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    itemsize = 2 if dtype_name == "bfloat16" else 4
     rng = np.random.default_rng(0)
     coords = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
     axes = [np.linspace(-1, 1, 64)] * 2
@@ -62,7 +63,7 @@ def main(b=64, n=8192, q=4096, k=24, c=64, dtype_name="bfloat16"):
 
         t_f = device_timeit(fn, variants, iters=20)
         t_s = device_timeit(step, variants, iters=20)
-        gb = (b * qq * kk * c * 2) / 1e9
+        gb = (b * qq * kk * c * itemsize) / 1e9
         print(f"[{dtype_name}] gmr {name:7s} fwd {t_f*1e3:7.2f}ms "
               f"({gb/t_f:.0f} GB/s eff. gather)   fwd+bwd {t_s*1e3:7.2f}ms",
               flush=True)

@@ -22,17 +22,24 @@ sys.path.insert(0, REPO)
 
 NPROC = 2
 DEV_PER_PROC = 4
-PORT = 9723
 
 
-def child(process_id: int, num_processes: int) -> None:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def child(process_id: int, num_processes: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count={DEV_PER_PROC}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=num_processes,
                                process_id=process_id)
     import jax.numpy as jnp
@@ -82,7 +89,9 @@ def child(process_id: int, num_processes: int) -> None:
     tx = optax.adamw(1e-3)
     opt_state = tx.init(params)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pndata, target):
         def loss_fn(p):
             pred = model.apply(p, latent_j, coords_j, pndata, enc, dec)
@@ -104,19 +113,28 @@ def child(process_id: int, num_processes: int) -> None:
 
 
 def parent() -> int:
+    port = _free_port()
     procs = []
     for pid in range(NPROC):
         env = dict(os.environ)
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), str(pid), str(NPROC)],
+            [sys.executable, os.path.abspath(__file__), str(pid), str(NPROC),
+             str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     rc = 0
     outs = []
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        if p.returncode != 0:
-            rc = 1
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+            if p.returncode != 0:
+                rc = 1
+    finally:
+        # A child stuck in jax.distributed.initialize (e.g. its peer died)
+        # must not outlive the parent holding the port.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     loss_lines = sorted(l for o in outs for l in o.splitlines() if "losses" in l)
     for l in loss_lines:
         print(l)
@@ -133,7 +151,7 @@ def parent() -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
-        child(int(sys.argv[1]), int(sys.argv[2]))
+    if len(sys.argv) == 4:
+        child(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
     else:
         sys.exit(parent())

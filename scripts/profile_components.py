@@ -12,7 +12,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tpu_timeit import device_timeit  # noqa: E402
+from tpu_timeit import device_timeit, make_variants  # noqa: E402
 
 
 def main(batch_size=64, num_nodes=8192, latent=(64, 64), dtypes=None):
@@ -37,17 +37,8 @@ def main(batch_size=64, num_nodes=8192, latent=(64, 64), dtypes=None):
     dec = [to_dev(g) for g in dec_h]
     latent_j, coords_j = jnp.asarray(lat), jnp.asarray(coords)
 
-    def make_variants(n=4):
-        out = []
-        for i in range(n):
-            r = np.random.default_rng(i)
-            out.append((jnp.asarray(r.normal(size=(batch_size, num_nodes, 1))
-                                    .astype(np.float32)),
-                        jnp.asarray(r.normal(size=(batch_size, num_nodes, 1))
-                                    .astype(np.float32))))
-        return out
-
-    variants = make_variants()
+    variants = make_variants(
+        [((batch_size, num_nodes, 1), jnp.float32)] * 2, n=4)
     pndata0 = variants[0][0]
 
     if dtypes is None:
@@ -73,8 +64,11 @@ def main(batch_size=64, num_nodes=8192, latent=(64, 64), dtypes=None):
 
         # Each fn takes the variant tuple; scalar-reduced by device_timeit.
         enc_fn = lambda x, y: bound.encode(coords_j, x, latent_j, enc)
-        proc_fn = lambda x, y: bound.process(rnd0 + 0 * jnp.mean(x))
-        dec_fn = lambda x, y: bound.decode(latent_j, prd0 + 0 * jnp.mean(x),
+        # Cast the dependency-forcing zero to the activation dtype: adding a
+        # float32 scalar would silently promote the bf16 pipeline to f32.
+        dep = lambda ref, x: ref + (0 * jnp.mean(x)).astype(ref.dtype)
+        proc_fn = lambda x, y: bound.process(dep(rnd0, x))
+        dec_fn = lambda x, y: bound.decode(latent_j, dep(prd0, x),
                                            coords_j, dec)
         fwd_fn = lambda x, y: model.apply(params, latent_j, coords_j, x, enc, dec)
 

@@ -68,7 +68,8 @@ def main():
 
     out_dir = os.path.abspath(".demo")
     os.makedirs(out_dir, exist_ok=True)
-    data_path = os.path.join(out_dir, "poisson_demo.npz")
+    data_path = os.path.join(out_dir,
+                             f"poisson_demo_{num_nodes}_{train_size}.npz")
     if not os.path.exists(data_path):
         make_dataset(data_path, train_size + 128, num_nodes)
 
@@ -85,7 +86,7 @@ def main():
             },
         },
         "dataset": {
-            "name": "poisson_demo",
+            "name": f"poisson_demo_{num_nodes}_{train_size}",
             "metaname": "elliptic_pdes/Poisson-Gauss",
             "base_path": out_dir,
             "train_size": train_size, "val_size": 64, "test_size": 64,
@@ -120,7 +121,10 @@ def main():
 def make_vx_dataset(path, num_samples, num_nodes, seed=0):
     """Airfoil-like: per-sample scattered coords, 3 condition channels -> 1."""
     rng = np.random.default_rng(seed)
-    x = rng.uniform(-1, 2.5, (num_samples, 1, num_nodes, 2)).astype(np.float32)
+    # Sample within the naca0012 metadata domain ([-1,-1.5],[2.5,2]) so every
+    # query node is within decode radius of the latent grid.
+    lo, hi = np.array([-1.0, -1.5]), np.array([2.5, 2.0])
+    x = rng.uniform(lo, hi, (num_samples, 1, num_nodes, 2)).astype(np.float32)
     c = rng.normal(size=(num_samples, 1, num_nodes, 3)).astype(np.float32)
     u = (1.0 + 0.1 * c[..., :1]
          + 0.05 * np.sin(x[..., :1]) * c[..., 1:2]).astype(np.float32)
@@ -130,7 +134,8 @@ def make_vx_dataset(path, num_samples, num_nodes, seed=0):
 def run_vx(epochs, num_nodes, train_size):
     out_dir = os.path.abspath(".demo_vx")
     os.makedirs(out_dir, exist_ok=True)
-    data_path = os.path.join(out_dir, "airfoil_demo.npz")
+    data_path = os.path.join(out_dir,
+                             f"airfoil_demo_{num_nodes}_{train_size}.npz")
     if not os.path.exists(data_path):
         make_vx_dataset(data_path, train_size + 32, num_nodes)
 
@@ -147,7 +152,7 @@ def run_vx(epochs, num_nodes, train_size):
             },
         },
         "dataset": {
-            "name": "airfoil_demo",
+            "name": f"airfoil_demo_{num_nodes}_{train_size}",
             "metaname": "compressible_flow/naca0012",
             "base_path": out_dir,
             "train_size": train_size, "val_size": 16, "test_size": 16,
@@ -182,7 +187,8 @@ def run_vx(epochs, num_nodes, train_size):
 def run_sequential(epochs, num_nodes, train_size):
     out_dir = os.path.abspath(".demo_seq")
     os.makedirs(out_dir, exist_ok=True)
-    data_path = os.path.join(out_dir, "ns_demo.npz")
+    data_path = os.path.join(out_dir,
+                             f"ns_demo_{num_nodes}_{train_size}.npz")
     if not os.path.exists(data_path):
         make_sequential_dataset(data_path, train_size + 16, num_nodes)
 
@@ -199,7 +205,7 @@ def run_sequential(epochs, num_nodes, train_size):
             },
         },
         "dataset": {
-            "name": "ns_demo",
+            "name": f"ns_demo_{num_nodes}_{train_size}",
             "metaname": "incompressible_fluids/NS-Gauss",
             "base_path": out_dir,
             "train_size": train_size, "val_size": 8, "test_size": 8,
