@@ -27,15 +27,14 @@ def log(*a):
 
 def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
                    compute_dtype="bfloat16", attn_backend="auto",
-                   use_tgraph=False):
+                   use_tgraph=False, use_buckets=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from gaot_tpu.core.config import ModelConfig, OptimizerConfig, merge_config
-    from gaot_tpu.data.graph_builder import GraphBuilder
+    from gaot_tpu.data.graph_builder import GraphBuilder, prepare_fx_device_graphs
     from gaot_tpu.models import GAOT
-    from gaot_tpu.ops.padding import PaddedGraph, transpose_graph
     from gaot_tpu.train.schedules import make_optimizer
     from gaot_tpu.train.static_trainer import masked_mse
 
@@ -48,21 +47,21 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
         "latent_tokens_size": list(latent),
         "args": {
             "magno": {"coord_dim": 2, "radius": 0.033, "hidden_size": 64,
-                      "mlp_layers": 3, "lifting_channels": 64},
+                      "mlp_layers": 3, "lifting_channels": 64,
+                      "use_transpose_backward": use_tgraph,
+                      "use_query_bucketing": use_buckets},
             "transformer": {"patch_size": 2, "hidden_size": 256, "num_layers": 3,
                             "attn_backend": attn_backend},
         },
     })
     builder = GraphBuilder()
     t0 = time.perf_counter()
-    enc, dec = builder.build_fx_graphs(coords, lat, 0.033, [1.0])
-    enc_t = [transpose_graph(g, num_nodes) for g in enc] if use_tgraph else None
-    dec_t = [transpose_graph(g, lat.shape[0]) for g in dec] if use_tgraph else None
+    enc_h, dec_h = builder.build_fx_graphs(coords, lat, 0.033, [1.0])
+    enc, dec, enc_t, dec_t = prepare_fx_device_graphs(
+        enc_h, dec_h, num_nodes, lat.shape[0], model_cfg.args.magno)
     log(f"graph build: {time.perf_counter() - t0:.2f}s "
-        f"enc K={enc[0].k} dec K={dec[0].k}")
-    to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
-    enc = [to_dev(g) for g in enc]
-    dec = [to_dev(g) for g in dec]
+        f"enc K={enc_h[0].k} dec K={dec_h[0].k} "
+        f"bucketed={'yes' if use_buckets else 'no'}")
 
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[compute_dtype]
     model = GAOT(input_size=1, output_size=1, config=model_cfg, dtype=dtype)
@@ -110,6 +109,7 @@ def main():
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     attn_backend = os.environ.get("BENCH_ATTN", "auto")
     use_tgraph = os.environ.get("BENCH_TGRAPH", "1") == "1"
+    use_buckets = os.environ.get("BENCH_BUCKETS", "1") == "1"
 
     import jax
 
@@ -125,7 +125,7 @@ def main():
     train_step, params, opt_state, pndata, target = build_workload(
         batch_size=batch_size, num_nodes=num_nodes,
         compute_dtype=compute_dtype, attn_backend=attn_backend,
-        use_tgraph=use_tgraph)
+        use_tgraph=use_tgraph, use_buckets=use_buckets)
 
     key = jax.random.key(1)
     t0 = time.perf_counter()

@@ -169,6 +169,13 @@ class MAGNOConfig:
                                          # layout this is ~2.9x faster than
                                          # XLA's scatter-add backward on the
                                          # isolated primitive (v5e).
+    use_query_bucketing: bool = True     # fx mode: re-pack graphs into degree
+                                         # buckets (ops/padding.py::
+                                         # bucketize_graph) — radius-graph
+                                         # degrees are heavy-tailed, so
+                                         # bucketing cuts gather traffic and
+                                         # per-edge MLP FLOPs ~2-2.5x with
+                                         # identical per-query math.
 
     def __post_init__(self):
         if self.coord_dim not in (2, 3):

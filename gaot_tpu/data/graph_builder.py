@@ -280,6 +280,57 @@ class GraphBuilder:
         return out
 
 
+def prepare_fx_device_graphs(enc: List[PaddedGraph], dec: List[PaddedGraph],
+                             num_nodes: int, num_latent: int, magno) -> tuple:
+    """Turn host fx graphs into device-ready model args.
+
+    Shared by the static and sequential trainers (and bench.py). Per scale:
+
+    - ``magno.use_query_bucketing``: re-pack into degree buckets
+      (ops/padding.py::bucketize_graph, transpose graphs embedded per
+      bucket) when the padding win clears the threshold;
+    - otherwise keep the dense PaddedGraph, with a separate transpose graph
+      when ``magno.use_transpose_backward``.
+
+    Returns (enc_graphs, dec_graphs, enc_tgraphs, dec_tgraphs); the tgraph
+    lists are None when every scale carries its transpose inside a
+    BucketedGraph (or transpose backward is off).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.padding import bucketize_graph
+
+    use_t = magno.use_transpose_backward
+    # Nonlinear kernels gather per-edge features into the kernel-MLP input;
+    # the bucketed path would fall back to autodiff's scatter-add for d_f
+    # there, so those configs keep the dense layout + transpose graphs.
+    bucketing = (magno.use_query_bucketing
+                 and magno.transform_type in ("linear", "linear_kernelonly"))
+
+    def prep(graphs, num_sources):
+        out_g, out_t = [], []
+        for g in graphs:
+            bg = (bucketize_graph(g, num_sources, with_transpose=use_t)
+                  if bucketing else None)
+            if bg is not None:
+                out_g.append(jax.tree.map(jnp.asarray, bg))
+                out_t.append(None)
+            else:
+                out_g.append(PaddedGraph(jnp.asarray(g.indices),
+                                         jnp.asarray(g.mask)))
+                out_t.append(jax.tree.map(jnp.asarray,
+                                          transpose_graph(g, num_sources))
+                             if use_t else None)
+        if all(t is None for t in out_t):
+            out_t = None
+        return out_g, out_t
+
+    enc_g, enc_t = prep(enc, num_nodes)
+    dec_g, dec_t = prep(dec, num_latent)
+    return enc_g, dec_g, enc_t, dec_t
+
+
 def attach_transpose_graphs(built: List[VxSplitGraphs], q_lat: int,
                             num_scales: int) -> None:
     """Attach per-sample transpose graphs (Kt unified across splits)."""

@@ -24,8 +24,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.gather_apply import apply_graph_transform
-from ..ops.padding import PaddedGraph, TransposeGraph
+from ..ops.gather_apply import apply_bucketed_graph_transform, apply_graph_transform
+from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
 
@@ -93,6 +93,8 @@ class AGNO(nn.Module):
         """
         if x is None:
             x = y
+        if isinstance(graph, BucketedGraph):
+            return self._call_bucketed(y, graph, x, f_y, weights)
         indices, mask = graph.indices, graph.mask
 
         rep_coords = y[indices]                                  # [Q, K, d1]
@@ -162,3 +164,61 @@ class AGNO(nn.Module):
         if reduction == "sum":
             return masked_sum(out, jnp.broadcast_to(m[..., None], out.shape))
         return masked_mean(out, jnp.broadcast_to(m[..., None], out.shape))
+
+    def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
+                     weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Per-edge coefficient for the shared (coordinate-only) kernel:
+        kernel-MLP output with attention / quadrature / mean weights and the
+        padding mask folded in — the same folding as the tgraph branch of
+        __call__, for one degree bucket. x: [Qb, d] bucket query coords."""
+        indices, mask = graph.indices, graph.mask
+        rep_coords = y[indices]                                  # [Qb, Kb, d]
+        self_coords = x[:, None, :]
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                self_coords[..., :self.coord_dim],
+                rep_coords[..., :self.coord_dim], mask)
+        self_b = jnp.broadcast_to(self_coords,
+                                  rep_coords.shape[:-1] + (x.shape[-1],))
+        agg = jnp.concatenate([rep_coords, self_b], axis=-1)
+        coef = self.channel_mlp(agg)                             # [Qb, Kb, C]
+        if attention is not None:
+            coef = coef * attention[..., None]
+        if weights is not None:
+            coef = coef * weights[indices][..., None]
+        elif attention is None:  # mean reduce
+            counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+            coef = coef / counts[..., None]
+        return jnp.where(mask[..., None], coef, 0)
+
+    def _call_bucketed(self, y: jnp.ndarray, bg: BucketedGraph,
+                       x: jnp.ndarray, f_y: Optional[jnp.ndarray],
+                       weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Integral transform over a degree-bucketed graph (ops/padding.py).
+
+        x must be the bucket-concatenated query coords; the result is in the
+        same concatenated row order (the caller unpermutes). The fx path with
+        a shared coordinate-only kernel uses the combined custom VJP —
+        per-bucket forward/d_coef gathers, one d_f pass. Other configurations
+        (kernel-only transforms, nonlinear kernels) run the plain per-bucket
+        path and concatenate.
+        """
+        multiply_f = (f_y is not None
+                      and self.transform_type != "nonlinear_kernelonly")
+        nonlinear = self.transform_type in ("nonlinear", "nonlinear_kernelonly")
+        combined = (multiply_f and not nonlinear and bg.tgraph is not None
+                    and f_y.ndim == 3)
+        parts, offset = [], 0
+        for graph in bg.buckets:
+            nb = graph.indices.shape[-2]
+            xs = x[offset:offset + nb]
+            offset += nb
+            if combined:
+                parts.append(self._folded_coef(y, graph, xs, weights))
+            else:
+                parts.append(self.__call__(y, graph, x=xs, f_y=f_y,
+                                           weights=weights))
+        if combined:
+            return apply_bucketed_graph_transform(parts, f_y, bg)
+        return jnp.concatenate(parts, axis=-2)

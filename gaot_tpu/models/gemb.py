@@ -17,7 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.padding import PaddedGraph
+from ..ops.padding import BucketedGraph, PaddedGraph
 from ..ops.segment_ops import masked_max, masked_mean
 from .mlp import LinearChannelMLP
 
@@ -72,15 +72,11 @@ def eigvalsh_3x3(cov: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([e1, e2, e3], axis=-1)
 
 
-def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
-                         graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
-    """Normalized per-query geometric statistics. Shapes:
-    input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d].
-
-    For vx-flattened batches (Q = num_samples · per-sample queries) the
-    standardization runs per sample, matching the reference's per-sample
-    geoembed calls (src/model/layers/magno.py:396-400).
-    """
+def raw_statistical_features(input_geom: jnp.ndarray,
+                             latent_queries: jnp.ndarray,
+                             graph: PaddedGraph) -> jnp.ndarray:
+    """Unnormalized per-query geometric statistics. Shapes:
+    input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d]."""
     indices, mask = graph.indices, graph.mask
     num_dims = latent_queries.shape[-1]
 
@@ -107,10 +103,14 @@ def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
 
     feats = jnp.concatenate(
         [counts[:, None], d_avg[:, None], d_var[:, None], delta, eig], axis=-1)
-    feats = jnp.where(has_nbrs[:, None], feats, 0.0)
+    return jnp.where(has_nbrs[:, None], feats, 0.0)
 
-    # Standardize over queries (reference gemb.py:163-169; torch .std is the
-    # unbiased estimator).
+
+def _standardize_grouped(feats: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Standardize over queries (reference gemb.py:163-169; torch .std is the
+    unbiased estimator). For vx-flattened batches (Q = num_samples ·
+    per-sample queries) the standardization runs per sample, matching the
+    reference's per-sample geoembed calls (src/model/layers/magno.py:396-400)."""
     flat_q = feats.shape[0]
     per = flat_q // num_samples
     grouped = feats.reshape(num_samples, per, -1)
@@ -119,6 +119,27 @@ def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
     std = jnp.sqrt(var)
     std = jnp.where(std < 1e-6, 1.0, std)
     return ((grouped - mean) / std).reshape(flat_q, -1)
+
+
+def _standardize_valid(feats: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """Standardize over the valid rows only (degree-bucketed layouts carry
+    tile-padding rows that must not shift the statistics); identical math to
+    _standardize_grouped(num_samples=1) on the valid subset."""
+    v = row_valid.astype(feats.dtype)[:, None]
+    n = jnp.sum(v)
+    mean = jnp.sum(feats * v, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
+    var = jnp.sum(((feats - mean) ** 2) * v, axis=0,
+                  keepdims=True) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.sqrt(var)
+    std = jnp.where(std < 1e-6, 1.0, std)
+    return (feats - mean) / std
+
+
+def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
+                         graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
+    """Normalized per-query geometric statistics (raw + standardization)."""
+    return _standardize_grouped(
+        raw_statistical_features(input_geom, latent_queries, graph), num_samples)
 
 
 class GeometricEmbedding(nn.Module):
@@ -131,31 +152,58 @@ class GeometricEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
-                 graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
+                 graph, num_samples: int = 1) -> jnp.ndarray:
+        """graph: PaddedGraph [Q, K], or BucketedGraph with
+        ``latent_queries`` already in bucket-concatenated (degree-sorted,
+        tile-padded) order — the result is then in that order too, with the
+        statistical standardization taken over valid rows only (identical to
+        the dense layout's over-all-queries statistics)."""
+        bucketed = isinstance(graph, BucketedGraph)
+
+        def per_bucket(fn):
+            if not bucketed:
+                return fn(latent_queries, graph)
+            parts, offset = [], 0
+            for g in graph.buckets:
+                nb = g.indices.shape[-2]
+                parts.append(fn(latent_queries[offset:offset + nb], g))
+                offset += nb
+            return jnp.concatenate(parts, axis=0)
+
         if self.method == "statistical":
-            feats = statistical_features(input_geom, latent_queries, graph, num_samples)
+            feats = per_bucket(
+                lambda lq, g: raw_statistical_features(input_geom, lq, g))
+            if bucketed:
+                feats = _standardize_valid(feats, graph.row_valid)
+            else:
+                feats = _standardize_grouped(feats, num_samples)
             h = nn.Dense(64, dtype=self.dtype, name="stat_dense0")(feats)
             h = nn.relu(h)
             h = nn.Dense(self.output_dim, dtype=self.dtype, name="stat_dense1")(h)
             return nn.relu(h)
 
         if self.method == "pointnet":
-            indices, mask = graph.indices, graph.mask
-            nbr = input_geom[indices]                            # [Q, K, d]
-            centered = nbr - latent_queries[:, None, :]
-            h = LinearChannelMLP(
+            mlp = LinearChannelMLP(
                 features=(64, 64), non_linearity=nn.relu,
-                dtype=self.dtype, name="pointnet_mlp")(centered)
-            h = nn.relu(h)                                       # [Q, K, 64]
-            if self.pooling == "max":
-                pooled = masked_max(h, mask)
-            elif self.pooling == "mean":
-                pooled = masked_mean(h, mask)
-            else:
-                raise ValueError(f"Unsupported pooling method: {self.pooling}")
-            out = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(pooled)
-            out = nn.relu(out)
-            has_nbrs = jnp.any(mask, axis=-1)
-            return jnp.where(has_nbrs[:, None], out, 0.0)
+                dtype=self.dtype, name="pointnet_mlp")
+            fc = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")
+
+            def pointnet(lq, g):
+                indices, mask = g.indices, g.mask
+                nbr = input_geom[indices]                        # [Q, K, d]
+                centered = nbr - lq[:, None, :]
+                h = nn.relu(mlp(centered))                       # [Q, K, 64]
+                if self.pooling == "max":
+                    pooled = masked_max(h, mask)
+                elif self.pooling == "mean":
+                    pooled = masked_mean(h, mask)
+                else:
+                    raise ValueError(
+                        f"Unsupported pooling method: {self.pooling}")
+                out = nn.relu(fc(pooled))
+                has_nbrs = jnp.any(mask, axis=-1)
+                return jnp.where(has_nbrs[:, None], out, 0.0)
+
+            return per_bucket(pointnet)
 
         raise ValueError(f"Unknown geometric embedding method: {self.method}")

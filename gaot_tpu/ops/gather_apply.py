@@ -177,6 +177,138 @@ def _nbc_bwd(res, dout):
 gather_multiply_reduce_nbc.defvjp(_nbc_fwd, _nbc_bwd)
 
 
+def _mulred_k_dispatch(coef_km: jnp.ndarray, gath_km: jnp.ndarray,
+                       b: int) -> jnp.ndarray:
+    """out[q, w] = Σ_k coef_km[k, q, :]·(tiled over b)·gath_km[k, q, w];
+    Pallas streaming kernel on TPU when the shape allows, einsum otherwise."""
+    k, qx, c = coef_km.shape
+    w = gath_km.shape[-1]
+    from .pallas.multiply_reduce import multiply_reduce_k, supported
+
+    if (jax.default_backend() == "tpu"
+            and supported(qx, b, c, gath_km.dtype.itemsize)):
+        return multiply_reduce_k(coef_km, gath_km, b)
+    gath = gath_km.reshape(k, qx, b, c)
+    return jnp.einsum("kqc,kqbc->qbc", coef_km,
+                      gath).reshape(qx, w).astype(gath_km.dtype)
+
+
+def _mulred_b_dispatch(gath_km: jnp.ndarray, dout2: jnp.ndarray,
+                       b: int, c: int) -> jnp.ndarray:
+    """d_coef[k, q, c] = Σ_b gath_km[k, q, (b,c)]·dout2[q, (b,c)]."""
+    k, qx, w = gath_km.shape
+    from .pallas.multiply_reduce import multiply_reduce_b, supported
+
+    if (jax.default_backend() == "tpu"
+            and supported(qx, b, c, gath_km.dtype.itemsize)):
+        return multiply_reduce_b(gath_km, dout2, b, c)
+    gath = gath_km.reshape(k, qx, b, c)
+    return jnp.einsum("kqbc,qbc->kqc", gath, dout2.reshape(qx, b, c))
+
+
+def _bucketed_forward(coefs, f, indices):
+    n, b, c = f.shape
+    f2d = f.reshape(n, b * c)
+    outs = []
+    for coef, idx in zip(coefs, indices):
+        gath_km = _bulk_gather(f2d, idx.T)                       # [Kb, Qb, W]
+        outs.append(_mulred_k_dispatch(jnp.swapaxes(coef, 0, 1), gath_km, b))
+    return jnp.concatenate(outs, axis=0).reshape(-1, b, c)       # [R, B, C]
+
+
+@jax.custom_vjp
+def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
+                                    tmask):
+    """Gather-multiply-reduce over a degree-bucketed graph, node-leading.
+
+    coefs: per-bucket [Qb, Kb, C] shared coefficients (padded edges zeroed);
+    f: [N, B, C]; indices: per-bucket [Qb, Kb]; edge_pos/tquery/tmask: the
+    combined transpose graph in bucket-concatenated edge/row space
+    (ops/padding.py::transpose_bucket_edges). Returns [R, B, C] with
+    R = Σ Qb.
+
+    The forward and d_coef gathers run per bucket — each moves only that
+    bucket's K columns, which is where the degree-bucketing win lives. d_f
+    runs as ONE combined pass over the transpose graph, costing the same as
+    the dense layout's (per-bucket transposes would instead accumulate a
+    full [N, B·C] d_f per bucket, which erases the win — measured on v5e).
+    """
+    return _bucketed_forward(coefs, f, indices)
+
+
+def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask):
+    return (_bucketed_forward(coefs, f, indices),
+            (coefs, f, indices, edge_pos, tquery, tmask))
+
+
+def _bucketed_bwd(res, dout):
+    coefs, f, indices, edge_pos, tquery, tmask = res
+    n, b, c = f.shape
+    w = b * c
+    dout = dout.astype(f.dtype)
+    dout2 = dout.reshape(-1, w)
+    f2d = f.reshape(n, w)
+
+    d_coefs, off = [], 0
+    for coef, idx in zip(coefs, indices):
+        qb = idx.shape[0]
+        gath_km = _bulk_gather(f2d, idx.T)
+        d_coefs.append(jnp.swapaxes(
+            _mulred_b_dispatch(gath_km, dout2[off:off + qb], b, c),
+            0, 1).astype(coef.dtype))
+        off += qb
+
+    coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs], axis=0)
+    cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt, N, C]
+    dg_km = _bulk_gather(dout2, tquery.T)                         # [Kt, N, W]
+    d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f.dtype)
+
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (tuple(d_coefs), d_f, tuple(zeros_i(i) for i in indices),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
+
+
+def apply_bucketed_graph_transform(coefs, f, bg) -> jnp.ndarray:
+    """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C]; bg: BucketedGraph with a
+    combined tgraph. Returns [B, R, C] in bucket-concatenated row order."""
+    out = bucketed_gather_multiply_reduce(
+        tuple(coefs), jnp.swapaxes(f, 0, 1),
+        tuple(g.indices for g in bg.buckets),
+        bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
+    return jnp.swapaxes(out, 0, 1)
+
+
+@jax.custom_vjp
+def unpermute_rows(x_cat: jnp.ndarray, inv_perm: jnp.ndarray,
+                   perm: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows back to original query order with a gather-only backward.
+
+    x_cat: [..., R, C] bucket-concatenated rows; inv_perm: [Q] original→concat
+    position; perm: [R] concat→original (0 on pad rows); row_valid: [R].
+    Returns [..., Q, C]. Plain autodiff of the forward gather would emit a
+    scatter for d_x; since inv_perm is injective the backward is itself a
+    masked gather by `perm`.
+    """
+    return jnp.take(x_cat, inv_perm, axis=-2)
+
+
+def _unpermute_fwd(x_cat, inv_perm, perm, row_valid):
+    return jnp.take(x_cat, inv_perm, axis=-2), (inv_perm, perm, row_valid)
+
+
+def _unpermute_bwd(res, g):
+    inv_perm, perm, row_valid = res
+    d_x = jnp.where(row_valid[:, None], jnp.take(g, perm, axis=-2), 0)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return d_x, zeros_i(inv_perm), zeros_i(perm), zeros_i(row_valid)
+
+
+unpermute_rows.defvjp(_unpermute_fwd, _unpermute_bwd)
+
+
 def apply_graph_transform(coef, f, graph, tgraph: TransposeGraph = None):
     """Dispatch the gather-multiply-reduce to the fastest available path.
 

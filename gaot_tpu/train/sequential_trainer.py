@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.graph_builder import GraphBuilder
+from ..data.graph_builder import GraphBuilder, prepare_fx_device_graphs
 from ..data.loader import BatchLoader
 from ..data.sequential import (
     DynamicPairBatcher,
@@ -30,7 +30,7 @@ from ..data.sequential import (
 )
 from ..models import GAOT
 from ..models.rollout import autoregressive_predict
-from ..ops.padding import PaddedGraph, TransposeGraph, transpose_graph
+from ..ops.padding import PaddedGraph, TransposeGraph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import create_sequential_animation, plot_estimates
 from .base_trainer import BaseTrainer
@@ -119,13 +119,9 @@ class SequentialTrainer(BaseTrainer):
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
-            if magno.use_transpose_backward:
-                num_nodes, num_latent = coord.shape[0], latent.shape[0]
-                self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
-                self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
-            to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
-            self.enc_graphs = [to_dev(g) for g in enc]
-            self.dec_graphs = [to_dev(g) for g in dec]
+            (self.enc_graphs, self.dec_graphs, self.enc_tgraphs,
+             self.dec_tgraphs) = prepare_fx_device_graphs(
+                enc, dec, coord.shape[0], latent.shape[0], magno)
 
         cfg = dataset_config
         loaders = {}

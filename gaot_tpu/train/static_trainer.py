@@ -21,10 +21,10 @@ import numpy as np
 import optax
 
 from ..data.data_processor import DataProcessor
-from ..data.graph_builder import GraphBuilder
+from ..data.graph_builder import GraphBuilder, prepare_fx_device_graphs
 from ..data.loader import make_static_fx_loader, make_static_vx_loader
 from ..models import GAOT
-from ..ops.padding import PaddedGraph, TransposeGraph, transpose_graph
+from ..ops.padding import PaddedGraph, TransposeGraph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import plot_estimates
 from .base_trainer import BaseTrainer
@@ -103,13 +103,9 @@ class StaticTrainer(BaseTrainer):
             self.coord = jnp.asarray(coord.astype(np.float32))
             enc, dec = builder.build_fx_graphs(coord, latent, magno.radius,
                                                magno.scales)
-            if magno.use_transpose_backward:
-                num_nodes, num_latent = coord.shape[0], latent.shape[0]
-                self.enc_tgraphs = [transpose_graph(g, num_nodes) for g in enc]
-                self.dec_tgraphs = [transpose_graph(g, num_latent) for g in dec]
-            to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
-            self.enc_graphs = [to_dev(g) for g in enc]
-            self.dec_graphs = [to_dev(g) for g in dec]
+            (self.enc_graphs, self.dec_graphs, self.enc_tgraphs,
+             self.dec_tgraphs) = prepare_fx_device_graphs(
+                enc, dec, coord.shape[0], latent.shape[0], magno)
             loaders = {
                 name: make_static_fx_loader(
                     splits[name]["c"], splits[name]["u"], cfg.batch_size,
