@@ -8,6 +8,20 @@ VMEM and the kernel runs a single-pass softmax per query tile — two MXU
 matmuls (QK^T and PV) with an fp32 softmax between, no HBM round-trip for
 the [S, S] score matrix.
 
+At GAOT's head_dim (32) the matmuls are lane-limited on the MXU, so the
+kernels are VPU-(softmax-)bound; the design minimizes [S, S]-sized VPU
+passes:
+
+- forward: max → exp2, with the normalization deferred to the [Qt, D]
+  output (out = (p̂·V)·recip(den)) instead of a [Qt, S] divide;
+- backward: every per-row scale (1/den, the softmax-grad correction
+  rowsum(P∘dP) = rowsum(dO∘O), and the logit scale) is folded into the
+  [S, D]-sized operands dO and delta — the [S, S] domain sees only the
+  softmax recompute (max → exp2) and one dS pass around five MXU matmuls.
+  (Passing the forward LSE in as a skinny [S, 1] side input was measured
+  SLOWER on v5e than recomputing max/den: per-(8,128)-tile DMA padding on
+  column vectors outweighs two VPU passes.)
+
 GQA is handled by the BlockSpec index maps: each (batch, q-head) program
 reads its kv-head block directly, so grouped K/V are never materialized.
 """
@@ -33,52 +47,66 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     maxes = jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp2(logits - maxes)
     denom = jnp.sum(probs, axis=-1, keepdims=True)
-    probs = (probs * pl.reciprocal(denom, approx=False)).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [Qt, D]
+    # Normalization deferred out of the [Qt, S] domain.
+    o_ref[0] = (acc * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale: float):
-    """Fully VMEM-resident attention backward for one (batch, q-head).
+def _bwd_core(q, k, v, do, o, scale):
+    """Shared backward math for one q-tile against full K/V.
 
-    Recomputes the softmax (standard flash backward), then
-        dV = Pᵀ·dO,  dP = dO·Vᵀ,  dS = P∘(dP − rowsum(P∘dP)),
-        dQ = scale·dS·K,  dK = scale·dSᵀ·Q.
+    Recomputes the row softmax (max → exp2, unnormalized p̂) and folds every
+    per-row scale into [*, D]-sized operands:
+        dV  = p̂ᵀ·(dO/den),
+        dP′ = (scale·dO/den)·Vᵀ,   δ′ = scale·rowsum(dO∘O)/den,
+        dS  = p̂∘(dP′ − δ′),        dQ = dS·K,   dK/dV partials for caller.
+    rowsum(P∘dP) = rowsum(dO∘O) because O = P·V (standard flash backward),
+    so no [S, S]-sized correction pass is needed.
     """
-    q = q_ref[0]                      # [S, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [S, S] fp32
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [Qt, S] fp32
     logits -= jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits)
-    p *= pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True),
-                       approx=False)                         # [S, S] fp32
+    p = jnp.exp2(logits)                                        # unnormalized
     pb = p.astype(v.dtype)
-    # dv[j] = Σ_i P[i,j]·dO[i]
-    dv_ref[0] = jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp[i,j] = dO[i]·V[j]
+    inv = pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True),
+                        approx=False)                           # [Qt, 1]
+    do32 = do.astype(jnp.float32)
+    o32 = o.astype(jnp.float32)
+    delta = jnp.sum(do32 * o32, axis=-1, keepdims=True) * (inv * scale)
+    do_n = (do32 * inv).astype(v.dtype)                         # dO/den
+    dv_part = jax.lax.dot_general(
+        pb, do_n, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [S, D]
+    do_s = (do32 * (inv * scale)).astype(v.dtype)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [S, S] fp32
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
-    dsb = ds.astype(q.dtype)
-    dq_ref[0] = jax.lax.dot_general(
+        do_s, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [Qt, S] fp32
+    dsb = (p * (dp - delta)).astype(q.dtype)
+    dq = jax.lax.dot_general(
         dsb, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
+        preferred_element_type=jnp.float32)
+    dk_part = jax.lax.dot_general(
         dsb, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        preferred_element_type=jnp.float32)
+    return dq, dk_part, dv_part
 
 
-def _attn_bwd_tiled_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
-                           dv_ref, dk_acc, dv_acc, *, scale: float):
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Fully VMEM-resident attention backward for one (batch, q-head)."""
+    dq, dk_part, dv_part = _bwd_core(q_ref[0], k_ref[0], v_ref[0],
+                                     do_ref[0], o_ref[0], scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk_part.astype(dk_ref.dtype)
+    dv_ref[0] = dv_part.astype(dv_ref.dtype)
+
+
+def _attn_bwd_tiled_kernel(q_ref, k_ref, v_ref, do_ref, o_ref,
+                           dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                           *, scale: float):
     """Q-tiled attention backward for sequences too long for the
     fully-resident kernel (3D latent grids: S up to ~8k).
 
@@ -93,28 +121,11 @@ def _attn_bwd_tiled_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]                      # [Qt, D]
-    k = k_ref[0]                      # [S, D]
-    v = v_ref[0]
-    do = do_ref[0]                    # [Qt, D]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * _LOG2E)  # [Qt, S]
-    logits -= jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits)
-    p *= pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
-    pb = p.astype(v.dtype)
-    dv_acc[:] += jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
-    dsb = ds.astype(q.dtype)
-    dq_ref[0] = jax.lax.dot_general(
-        dsb, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_acc[:] += jax.lax.dot_general(
-        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq, dk_part, dv_part = _bwd_core(q_ref[0], k_ref[0], v_ref[0],
+                                     do_ref[0], o_ref[0], scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_acc[:] += dk_part
+    dv_acc[:] += dv_part
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _fin():
@@ -145,7 +156,7 @@ def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Returns [B, S, H, D]. Falls back to the XLA einsum path for shapes the
     kernel doesn't cover. Differentiable: forward runs the Pallas flash
     kernel; backward runs the Pallas flash backward when the shape allows
-    (S ≤ 1024), else recomputes through the XLA reference.
+    (S ≤ 4096), else recomputes through the XLA reference.
     """
     if not _supported(q.shape[1], q.shape[3]):
         from ...models.transformer import gqa_attention_xla
@@ -168,13 +179,14 @@ def _flash_diff(q, k, v, q_block):
 
 
 def _flash_fwd_rule(q, k, v, q_block):
-    return _flash_forward(q, k, v, q_block), (q, k, v)
+    out = _flash_forward(q, k, v, q_block)
+    return out, (q, k, v, out)
 
 
 def _flash_bwd_rule(q_block, residuals, g):
-    q, k, v = residuals
+    q, k, v, out = residuals
     if _bwd_supported(q.shape[1], q.shape[3]):
-        return _flash_backward(q, k, v, g)
+        return _flash_backward(q, k, v, out, g)
     from ...models.transformer import gqa_attention_xla
 
     _, vjp = jax.vjp(gqa_attention_xla, q, k, v)
@@ -184,7 +196,7 @@ def _flash_bwd_rule(q_block, residuals, g):
 _flash_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
-def _flash_backward(q, k, v, do):
+def _flash_backward(q, k, v, out, do):
     b, s, h, d = q.shape
     hkv = k.shape[2]
     group = h // hkv
@@ -194,6 +206,7 @@ def _flash_backward(q, k, v, do):
     kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
     vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
     doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    oh = out.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     out_sds = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
 
     if s <= _BWD_MONOLITHIC_MAX_S:
@@ -206,12 +219,12 @@ def _flash_backward(q, k, v, do):
         dq, dkp, dvp = pl.pallas_call(
             functools.partial(_attn_bwd_kernel, scale=scale),
             grid=(b * h,),
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec],
             out_specs=[q_spec, q_spec, q_spec],
             out_shape=[out_sds, out_sds, out_sds],
-        )(qh, kh, vh, doh)
+        )(qh, kh, vh, doh, oh)
     else:
-        # ~5 fp32 [Qt, S] tile buffers live at once (logits/p/dp/ds + casts);
+        # ~4 fp32 [Qt, S] tile buffers live at once (logits/p/dp/ds reuse);
         # keep them within the ~16 MB scoped-VMEM budget. 64-row steps:
         # s % 128 == 0 (checked by _bwd_supported) so qt=64 always divides s.
         qt = min(s, max(64, (1 << 18) // s // 64 * 64))
@@ -229,12 +242,12 @@ def _flash_backward(q, k, v, do):
         dq, dkp, dvp = pl.pallas_call(
             functools.partial(_attn_bwd_tiled_kernel, scale=scale),
             grid=(b * h, s // qt),
-            in_specs=[qt_spec, kv_spec2, kv_spec2, qt_spec],
+            in_specs=[qt_spec, kv_spec2, kv_spec2, qt_spec, qt_spec],
             out_specs=[qt_spec, kvout_spec, kvout_spec],
             out_shape=[out_sds, out_sds, out_sds],
             scratch_shapes=[pltpu.VMEM((s, d), jnp.float32),
                             pltpu.VMEM((s, d), jnp.float32)],
-        )(qh, kh, vh, doh)
+        )(qh, kh, vh, doh, oh)
 
     dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     # dK/dV are computed per q-head; sum the per-group partials for GQA.
