@@ -134,43 +134,62 @@ def gather_multiply_reduce_nbc(coef: jnp.ndarray, f: jnp.ndarray,
 
 
 def _nbc_fwd(coef, f, indices, edge_pos, tquery, tmask):
-    return (gather_multiply_reduce_nbc(coef, f, indices, edge_pos, tquery,
-                                       tmask),
-            (coef, f, indices, edge_pos, tquery, tmask))
+    """Forward that saves the gathered rows for the backward.
+
+    The forward already materializes the bulk-row gather in HBM
+    (optimization_barrier); keeping it as a residual lets d_coef re-read it
+    sequentially (~free, overlapped) instead of re-gathering the same rows
+    at random-row bandwidth — the dominant backward cost.
+    """
+    q, k, c = coef.shape
+    n, b, _ = f.shape
+    if _pallas_consumers_ok(coef, f, tquery):
+        from .pallas.multiply_reduce import multiply_reduce_k
+
+        gath = _bulk_gather(f.reshape(n, b * c), indices.T)       # [K, Q, W]
+        out = multiply_reduce_k(jnp.swapaxes(coef, 0, 1), gath,
+                                b).reshape(q, b, c)
+    else:
+        gath = _bulk_gather(f.reshape(n, b * c),
+                            indices).reshape(q, k, b, c)          # [Q,K,B,C]
+        out = jnp.einsum("qkc,qkbc->qbc", coef, gath)
+    return out, (coef, gath, edge_pos, tquery, tmask)
 
 
 def _nbc_bwd(res, dout):
-    coef, f, indices, edge_pos, tquery, tmask = res
+    # Static layout metadata is derived from shapes (residual leaves must be
+    # arrays): gath.ndim == 3 → pallas [K, Q, W] layout, 4 → einsum [Q,K,B,C].
+    coef, gath, edge_pos, tquery, tmask = res
     q, k, c = coef.shape
-    n, b, _ = f.shape
+    b = dout.shape[1]
+    n = tmask.shape[0]
+    f_dtype = gath.dtype
     # The incoming cotangent is often fp32 (upcast by the loss); both grads
     # are cast back to the bf16 param/feature dtypes anyway, so gather it in
     # the feature dtype — halves the dominant backward gather traffic.
-    dout = dout.astype(f.dtype)
-    if _pallas_consumers_ok(coef, f, tquery):
+    dout = dout.astype(f_dtype)
+    if gath.ndim == 3:
         from .pallas.multiply_reduce import multiply_reduce_b, multiply_reduce_k
 
         w = b * c
         dout2 = dout.reshape(q, w)
-        # d_coef[q,k,c] = Σ_b dout[q,b,c] · f[idx[q,k],b,c]
-        gath_km = _bulk_gather(f.reshape(n, w), indices.T)        # [K, Q, W]
+        # d_coef[q,k,c] = Σ_b dout[q,b,c] · f[idx[q,k],b,c] — gath saved by fwd
         d_coef = jnp.swapaxes(
-            multiply_reduce_b(gath_km, dout2, b, c), 0, 1).astype(coef.dtype)
+            multiply_reduce_b(gath, dout2, b, c), 0, 1).astype(coef.dtype)
         # d_f[n,b,c] = Σ_j coef_flat[edge_pos[n,j],c] · dout[query[n,j],b,c]
         cg = jnp.where(tmask.T[..., None],
                        coef.reshape(-1, c)[edge_pos.T], 0)        # [Kt, N, C]
         dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
-        d_f = multiply_reduce_k(cg, dg_km, b).reshape(n, b, c).astype(f.dtype)
+        d_f = multiply_reduce_k(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
     else:
-        gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
         d_coef = jnp.einsum("qbc,qkbc->qkc", dout, gath).astype(coef.dtype)
         cg = jnp.where(tmask[..., None],
                        coef.reshape(-1, c)[edge_pos], 0)          # [N,Kt,C]
         dg = _bulk_gather(dout.reshape(q, b * c), tquery)         # [N,Kt,B*C]
         d_f = jnp.einsum("nkc,nkbc->nbc", cg,
-                         dg.reshape(n, -1, b, c)).astype(f.dtype)
+                         dg.reshape(n, -1, b, c)).astype(f_dtype)
     zeros_i = lambda x: jnp.zeros_like(x)
-    return (d_coef, d_f, zeros_i(indices), zeros_i(edge_pos),
+    return (d_coef, d_f, jnp.zeros((q, k), jnp.int32), zeros_i(edge_pos),
             zeros_i(tquery), zeros_i(tmask))
 
 
@@ -237,22 +256,31 @@ def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
 
 
 def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask):
-    return (_bucketed_forward(coefs, f, indices),
-            (coefs, f, indices, edge_pos, tquery, tmask))
+    """Forward saving the per-bucket gathered rows for d_coef (see _nbc_fwd)."""
+    n, b, c = f.shape
+    f2d = f.reshape(n, b * c)
+    outs, gaths = [], []
+    for coef, idx in zip(coefs, indices):
+        gath_km = _bulk_gather(f2d, idx.T)                       # [Kb, Qb, W]
+        gaths.append(gath_km)
+        outs.append(_mulred_k_dispatch(jnp.swapaxes(coef, 0, 1), gath_km, b))
+    out = jnp.concatenate(outs, axis=0).reshape(-1, b, c)
+    return out, (coefs, tuple(gaths), edge_pos, tquery, tmask)
 
 
 def _bucketed_bwd(res, dout):
-    coefs, f, indices, edge_pos, tquery, tmask = res
-    n, b, c = f.shape
+    coefs, gaths, edge_pos, tquery, tmask = res
+    n = tmask.shape[0]
+    c = coefs[0].shape[-1]
+    b = gaths[0].shape[-1] // c
     w = b * c
-    dout = dout.astype(f.dtype)
+    f_dtype = gaths[0].dtype
+    dout = dout.astype(f_dtype)
     dout2 = dout.reshape(-1, w)
-    f2d = f.reshape(n, w)
 
     d_coefs, off = [], 0
-    for coef, idx in zip(coefs, indices):
-        qb = idx.shape[0]
-        gath_km = _bulk_gather(f2d, idx.T)
+    for coef, gath_km in zip(coefs, gaths):
+        qb = coef.shape[0]
         d_coefs.append(jnp.swapaxes(
             _mulred_b_dispatch(gath_km, dout2[off:off + qb], b, c),
             0, 1).astype(coef.dtype))
@@ -261,10 +289,11 @@ def _bucketed_bwd(res, dout):
     coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs], axis=0)
     cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt, N, C]
     dg_km = _bulk_gather(dout2, tquery.T)                         # [Kt, N, W]
-    d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f.dtype)
+    d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
 
     zeros_i = lambda x: jnp.zeros_like(x)
-    return (tuple(d_coefs), d_f, tuple(zeros_i(i) for i in indices),
+    return (tuple(d_coefs), d_f,
+            tuple(jnp.zeros(cf.shape[:2], jnp.int32) for cf in coefs),
             zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 
 
