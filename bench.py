@@ -98,7 +98,49 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step, params, opt_state, pndata, target
+    # Whole-epoch scan over a device-resident dataset — the trainers' actual
+    # training path for dataset.device_data (base_trainer._build_epoch_fn):
+    # per scan step, gather the batch by index and run the same update.
+    train_size = int(os.environ.get("BENCH_TRAIN_SIZE", 2048))
+    dev = {
+        "c": jnp.asarray(rng.normal(
+            size=(train_size, num_nodes, 1)).astype(np.float32)),
+        "u": jnp.asarray(rng.normal(
+            size=(train_size, num_nodes, 1)).astype(np.float32)),
+    }
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, rng_key, idx):
+        def body(carry, xs):
+            params, opt_state = carry
+            i, step = xs
+
+            def loss_fn(p):
+                pred = model.apply(p, latent_j, coords_j, dev["c"][i], enc,
+                                   dec, training=True,
+                                   rngs={"edge_drop": jax.random.fold_in(
+                                       rng_key, step)},
+                                   encoder_tgraphs=enc_t,
+                                   decoder_tgraphs=dec_t)
+                return masked_mse(pred, dev["u"][i], mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        k = idx.shape[0]
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (idx, jnp.arange(k, dtype=jnp.int32)))
+        return params, opt_state, losses
+
+    def make_epoch_indices(epoch_rng, k):
+        return jnp.asarray(
+            epoch_rng.permutation(train_size)[: k * batch_size]
+            .reshape(k, batch_size).astype(np.int32))
+
+    return (train_step, epoch_fn, make_epoch_indices, params, opt_state,
+            pndata, target)
 
 
 def main():
@@ -122,26 +164,54 @@ def main():
 
     log(f"devices: {jax.devices()}")
     log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
-    train_step, params, opt_state, pndata, target = build_workload(
+    mode = os.environ.get("BENCH_MODE", "scan")  # scan | step
+    (train_step, epoch_fn, make_epoch_indices, params, opt_state, pndata,
+     target) = build_workload(
         batch_size=batch_size, num_nodes=num_nodes,
         compute_dtype=compute_dtype, attn_backend=attn_backend,
         use_tgraph=use_tgraph, use_buckets=use_buckets)
 
     key = jax.random.key(1)
-    t0 = time.perf_counter()
-    for i in range(warmup):
-        params, opt_state, loss = train_step(params, opt_state, key, pndata, target)
-    jax.block_until_ready(loss)
-    log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
+    if mode == "scan":
+        # One dispatch per epoch (the trainers' device-resident path); time
+        # full epochs after one warmup epoch compiles the scan.
+        host_rng = np.random.default_rng(1)
+        k = int(os.environ.get("BENCH_SCAN_STEPS", 32))
+        t0 = time.perf_counter()
+        params, opt_state, losses = epoch_fn(params, opt_state, key,
+                                             make_epoch_indices(host_rng, k))
+        jax.block_until_ready(losses)
+        log(f"warmup (1 epoch of {k} steps incl. compile): "
+            f"{time.perf_counter() - t0:.2f}s")
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, key, pndata, target)
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
-    sps = batch_size * iters / elapsed
-    log(f"{iters} steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
-        f"loss={float(loss):.4f}")
+        epochs = max(1, iters // k)
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            params, opt_state, losses = epoch_fn(
+                params, opt_state, key, make_epoch_indices(host_rng, k))
+        jax.block_until_ready(losses)
+        elapsed = time.perf_counter() - t0
+        steps_done = epochs * k
+        sps = batch_size * steps_done / elapsed
+        log(f"{epochs} epoch(s) x {k} steps in {elapsed:.3f}s → "
+            f"{sps:.1f} samples/s, loss={float(losses[-1]):.4f}")
+    else:
+        t0 = time.perf_counter()
+        for i in range(warmup):
+            params, opt_state, loss = train_step(params, opt_state, key,
+                                                 pndata, target)
+        jax.block_until_ready(loss)
+        log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
+
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss = train_step(params, opt_state, key,
+                                                 pndata, target)
+        jax.block_until_ready(loss)
+        elapsed = time.perf_counter() - t0
+        sps = batch_size * iters / elapsed
+        log(f"{iters} steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
+            f"loss={float(loss):.4f}")
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -246,6 +246,11 @@ class SetUpConfig:
     distributed: bool = False           # initialize jax.distributed (multi-host)
     data_parallel: int = -1             # -1: use all visible devices on the 'data' axis
     model_parallel: int = 1             # 'model' axis size (tensor parallel transformer)
+    spatial_parallel: bool = False      # shard latent tokens / query points over 'model'
+    #   (sequence parallelism for GAOT-3D-scale grids; see parallel/spatial.py)
+    epoch_scan: str = "auto"            # whole-epoch lax.scan training: 'auto' enables it
+    #   when the run is long enough to amortize the extra scan compile
+    #   (~2 min); 'always' / 'never' override (base_trainer.fit)
     coordinator_address: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None

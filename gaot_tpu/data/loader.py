@@ -37,16 +37,41 @@ class BatchLoader:
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # (dev_pytree, batch_fn) with batch_fn(dev, idx)->dict traceable —
+        # set when batches are gathered from device-resident split arrays;
+        # enables the trainers' whole-epoch lax.scan path (one dispatch per
+        # epoch instead of one per step).
+        self.device_epoch_spec = None
 
     def __len__(self) -> int:
         if self.drop_last:
             return self.num_samples // self.batch_size
         return (self.num_samples + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = (self._rng.permutation(self.num_samples) if self.shuffle
-                 else np.arange(self.num_samples))
+    def _epoch_order(self) -> np.ndarray:
         self._epoch += 1
+        return (self._rng.permutation(self.num_samples) if self.shuffle
+                else np.arange(self.num_samples))
+
+    def epoch_index_matrix(self):
+        """(indices [k, B] int32, mask [k, B] bool) for one epoch — the same
+        order/padding __iter__ would produce (advances the shuffle rng)."""
+        order = self._epoch_order()
+        bs = self.batch_size
+        k = len(self)
+        idx = np.empty((k, bs), dtype=np.int32)
+        mask = np.ones((k, bs), dtype=bool)
+        for j, start in enumerate(range(0, k * bs, bs)):
+            chunk = order[start:start + bs]
+            if len(chunk) < bs:
+                pad = np.resize(order, bs - len(chunk))  # wrap-around padding
+                mask[j, len(chunk):] = False
+                chunk = np.concatenate([chunk, pad])
+            idx[j] = chunk
+        return idx, mask
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
         bs = self.batch_size
         for start in range(0, self.num_samples, bs):
             chunk = order[start:start + bs]
@@ -67,9 +92,8 @@ class BatchLoader:
 DEVICE_DATA_BYTE_LIMIT = 6 << 30  # fall back to host batches above this
 
 
-def _device_gather_get_batch(buffers: Dict[str, np.ndarray]):
-    """get_batch that keeps the split arrays device-resident and gathers
-    batches ON DEVICE.
+def _device_gather_get_batch(dev: Dict):
+    """get_batch that gathers batches ON DEVICE from device-resident arrays.
 
     On tunneled/remote accelerators, shipping assembled batches costs a
     round trip per step at ~70 MB/s effective (a ~60 MB vx graph batch is
@@ -80,7 +104,6 @@ def _device_gather_get_batch(buffers: Dict[str, np.ndarray]):
     import jax
     import jax.numpy as jnp
 
-    dev = jax.device_put(buffers)  # single transfer for the whole dict
     gather = jax.jit(lambda bufs, idx: jax.tree.map(lambda a: a[idx], bufs))
 
     def get_batch(idx):
@@ -109,9 +132,15 @@ def _buffers_loader(buffers: Dict[str, np.ndarray], num_samples: int,
         total = sum(v.nbytes for v in buffers.values())
         if total <= DEVICE_DATA_BYTE_LIMIT:
             try:
-                return BatchLoader(num_samples, batch_size,
-                                   _device_gather_get_batch(buffers),
-                                   shuffle=shuffle, seed=seed)
+                import jax
+
+                dev = jax.device_put(buffers)  # one transfer for the dict
+                loader = BatchLoader(num_samples, batch_size,
+                                     _device_gather_get_batch(dev),
+                                     shuffle=shuffle, seed=seed)
+                loader.device_epoch_spec = (
+                    dev, lambda bufs, idx: jax.tree.map(lambda a: a[idx], bufs))
+                return loader
             except Exception:
                 pass  # no device / OOM → host path
 

@@ -269,10 +269,11 @@ class DynamicPairBatcher:
         return batch
 
 
-    def make_device_get_batch(self):
-        """Device-resident variant of get_batch: u/c/graph arrays live on the
-        accelerator and time-pair inputs/targets are assembled in one jitted
-        call per batch (see loader._device_gather_get_batch for why)."""
+    def device_parts(self):
+        """(dev_pytree, assemble) for device-resident batching: u/c/graph
+        arrays live on the accelerator and ``assemble(dev, flat_idx)`` builds
+        the time-pair inputs/targets on device (traceable — used both per
+        batch and inside the trainers' whole-epoch scan)."""
         import jax
         import jax.numpy as jnp
 
@@ -295,7 +296,6 @@ class DynamicPairBatcher:
         stats = self.stats
         dtype = self.u.dtype
 
-        @jax.jit
         def assemble(dev, flat_idx):
             s_idx = flat_idx // num_pairs
             p_idx = flat_idx % num_pairs
@@ -339,9 +339,20 @@ class DynamicPairBatcher:
                     batch[k] = dev[k][s_idx]
             return batch
 
-        def get_batch(idx):
-            return dict(assemble(dev, jnp.asarray(idx, dtype=jnp.int32)))
+        return dev, assemble
 
+    def make_device_get_batch(self):
+        """Per-batch device batching built on :meth:`device_parts`."""
+        import jax
+        import jax.numpy as jnp
+
+        dev, assemble = self.device_parts()
+        assemble_j = jax.jit(assemble)
+
+        def get_batch(idx):
+            return dict(assemble_j(dev, jnp.asarray(idx, dtype=jnp.int32)))
+
+        get_batch.device_epoch_spec = (dev, assemble)
         return get_batch
 
 
@@ -363,8 +374,10 @@ def make_sequential_loader(batcher: DynamicPairBatcher, batch_size: int,
                 get_batch = batcher.make_device_get_batch()
             except Exception:
                 get_batch = batcher.get_batch
-    return BatchLoader(len(batcher), batch_size, get_batch,
-                       shuffle=shuffle, seed=seed)
+    loader = BatchLoader(len(batcher), batch_size, get_batch,
+                         shuffle=shuffle, seed=seed)
+    loader.device_epoch_spec = getattr(get_batch, "device_epoch_spec", None)
+    return loader
 
 
 class RolloutTestBatcher:

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..core.config import ModelConfig
 from ..ops.padding import PaddedGraph
+from ..parallel.spatial import shard_queries
 from .magno import MAGNOEncoder, MAGNODecoder
 from .transformer import Transformer
 
@@ -145,7 +146,7 @@ class GAOT(nn.Module):
         """UViT over patch tokens (reference src/model/gaot.py:145-233)."""
         c = rndata.shape[-1]
         tokens = patchify(rndata, self.grid_shape, self.patch_size)
-        tokens = self.patch_linear(tokens)
+        tokens = shard_queries(self.patch_linear(tokens))
         use_rope = self.positional_embedding == "rope"
         if not use_rope:
             tokens = tokens + jnp.asarray(self.pos_emb, dtype=tokens.dtype)
@@ -175,12 +176,15 @@ class GAOT(nn.Module):
         pndata: [B, N, Cin]; graphs: per-scale PaddedGraphs;
         query_coord: defaults to xcoord. Returns [B, M, Cout].
         """
-        rndata = self.encode(xcoord, pndata, latent_tokens_coord,
-                             encoder_graphs, training=training,
-                             tgraphs=encoder_tgraphs)
+        # shard_queries calls are spatial-parallelism hints (parallel/spatial
+        # .py): no-ops by default; with setup.spatial_parallel they shard the
+        # latent-token / output-query axis over the mesh's 'model' axis.
+        rndata = shard_queries(self.encode(
+            xcoord, pndata, latent_tokens_coord, encoder_graphs,
+            training=training, tgraphs=encoder_tgraphs))
         rndata = self.process(rndata, condition=condition, training=training)
         if query_coord is None:
             query_coord = xcoord
-        return self.decode(latent_tokens_coord, rndata, query_coord,
-                           decoder_graphs, training=training,
-                           tgraphs=decoder_tgraphs)
+        return shard_queries(self.decode(
+            latent_tokens_coord, rndata, query_coord, decoder_graphs,
+            training=training, tgraphs=decoder_tgraphs))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import TransformerConfig
+from ..parallel.spatial import shard_queries
 from .mlp import ConditionedNorm
 
 
@@ -208,13 +209,16 @@ class TransformerBlock(nn.Module):
         # (reference attn.py:231-233). Reproduced exactly for weight-level
         # parity.
         h = RMSNorm(cfg.norm_eps, name="ffn_norm")(h) if cfg.use_ffn_norm else h
-        return h + FFN(
+        out = h + FFN(
             ffn_hidden_size=cfg.hidden_size * cfg.ffn_multiplier,
             use_conditional_norm=cfg.attn_config.use_conditional_norm,
             cond_norm_hidden_size=cfg.attn_config.cond_norm_hidden_size,
             dtype=self.dtype,
             name="ffn",
         )(h, condition=condition)
+        # Spatial parallelism: keep tokens sharded over 'model' between
+        # blocks (attention internally all-gathers K/V); no-op by default.
+        return shard_queries(out)
 
 
 class Transformer(nn.Module):

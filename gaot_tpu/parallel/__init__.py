@@ -7,6 +7,12 @@ from .mesh import (
     shard_params,
     param_specs,
 )
+from .spatial import (
+    enable_spatial_sharding,
+    shard_queries,
+    spatial_enabled,
+    spatial_sharding,
+)
 
 __all__ = [
     "init_distributed",
@@ -16,4 +22,8 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "param_specs",
+    "enable_spatial_sharding",
+    "shard_queries",
+    "spatial_enabled",
+    "spatial_sharding",
 ]

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import time
 from abc import ABC, abstractmethod
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -34,6 +35,7 @@ from ..core.config import (
 )
 from ..core.metadata import DATASET_METADATA
 from ..parallel.mesh import init_distributed, make_mesh, shard_batch, shard_params
+from ..parallel.spatial import enable_spatial_sharding
 from ..utils.plotting import plot_losses
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .schedules import make_optimizer
@@ -116,6 +118,12 @@ class BaseTrainer(ABC):
             raise ValueError(
                 f"batch_size {self.batch_size} not divisible by data_parallel {dp}")
         self.mesh = make_mesh(dp, mp)
+        if self.setup_config.spatial_parallel:
+            # Sequence parallelism over 'model' (parallel/spatial.py): the
+            # model's shard_queries hints become active, and jitted steps need
+            # the mesh in context to resolve their PartitionSpecs.
+            jax.set_mesh(self.mesh)
+            enable_spatial_sharding(True)
 
     # ------------------------------------------------------------------
     @abstractmethod
@@ -170,6 +178,66 @@ class BaseTrainer(ABC):
         self.params = shard_params(self.params, self.mesh)
 
     # ------------------------------------------------------------------
+    # Whole-epoch scan: when the training data is device-resident
+    # (dataset.device_data), the entire epoch runs as ONE jitted
+    # lax.scan — batch gather, forward, backward, and optimizer update per
+    # step — instead of one dispatch per step. Removes per-step host
+    # dispatch latency entirely (the dominant cost for small models, and
+    # several ms/step on tunneled devices).
+    def _build_epoch_fn(self):
+        spec = getattr(self.train_loader, "device_epoch_spec", None)
+        if spec is None or getattr(self, "_step_update", None) is None:
+            return None
+        if self.mesh is not None and np.prod(
+                tuple(self.mesh.shape.values())) > 1:
+            # Device-resident buffers are committed to one device; the scan
+            # path is single-device (multi-device runs keep per-step jits,
+            # which reshard batches over the mesh).
+            return None
+        dev, batch_fn = spec
+        step_update = self._step_update
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=())
+        def epoch_fn(params, opt_state, rng, bufs, idx, mask):
+            def body(carry, xs):
+                params, opt_state = carry
+                i, m, step = xs
+                batch = dict(batch_fn(bufs, i))
+                batch["sample_mask"] = m
+                params, opt_state, loss = step_update(
+                    params, opt_state, jax.random.fold_in(rng, step), batch)
+                return (params, opt_state), loss
+
+            k = idx.shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state),
+                (idx, mask, jnp.arange(k, dtype=jnp.int32)))
+            return params, opt_state, losses
+
+        return lambda params, opt_state, rng, idx, mask: epoch_fn(
+            params, opt_state, rng, dev, idx, mask)
+
+    def _scan_available(self) -> bool:
+        if not getattr(self, "_epoch_fn_ready", False):
+            if getattr(self, "_step_update", None) is None and hasattr(
+                    self, "_build_steps"):
+                self._build_steps()
+            self._epoch_fn = self._build_epoch_fn()
+            self._epoch_fn_ready = True
+        return self._epoch_fn is not None
+
+    def train_epoch_scan(self):
+        """Run one full epoch as a single scan dispatch; returns the [k]
+        per-step loss array, or None when the scan path is unavailable."""
+        if not self._scan_available():
+            return None
+        idx, mask = self.train_loader.epoch_index_matrix()
+        self.params, self.opt_state, losses = self._epoch_fn(
+            self.params, self.opt_state, self._next_rng(),
+            jnp.asarray(idx), jnp.asarray(mask))
+        return losses
+
+    # ------------------------------------------------------------------
     def fit(self, verbose: bool = True):
         """Training loop: per-epoch jitted steps, periodic validation,
         best-model tracking, checkpoint, loss plots, final test
@@ -181,21 +249,35 @@ class BaseTrainer(ABC):
         losses, epochs, val_losses, val_epochs = [], [], [], []
 
         num_batches = len(self.train_loader)
-        # Overlap host batch assembly (native multi-threaded row gather) with
-        # the device step; order/contents are identical to direct iteration.
-        from ..data.loader import PrefetchLoader
+        # Whole-epoch scan when the data is device-resident (one dispatch per
+        # epoch); else overlap host batch assembly (native multi-threaded row
+        # gather) with the device step via the prefetch thread. 'auto' takes
+        # the scan only when the run is long enough to amortize the scan
+        # program's extra XLA compile time (~2 min measured on v5e).
+        scan_cfg = str(getattr(self.setup_config, "epoch_scan", "auto")).lower()
+        want_scan = scan_cfg in ("always", "true") or (
+            scan_cfg == "auto" and args.epoch * num_batches >= 10_000)
+        use_scan = want_scan and self._scan_available()
+        train_iter = None
+        if not use_scan:
+            from ..data.loader import PrefetchLoader
 
-        train_iter = PrefetchLoader(self.train_loader,
-                                    place_fn=self.place_batch_once)
+            train_iter = PrefetchLoader(self.train_loader,
+                                        place_fn=self.place_batch_once)
         start = time.perf_counter()
         samples_done = 0
         for epoch in range(args.epoch):
-            epoch_losses = []
-            for batch in train_iter:
-                epoch_losses.append(self.train_step(batch))
-                samples_done += int(np.sum(batch["sample_mask"]))
+            if use_scan:
+                epoch_losses = [self.train_epoch_scan()]  # [k] device array
+                samples_done += self.train_loader.num_samples
+            else:
+                epoch_losses = []
+                for batch in train_iter:
+                    epoch_losses.append(self.train_step(batch))
+                    samples_done += int(np.sum(batch["sample_mask"]))
             if (epoch + 1) % eval_every == 0:
-                train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                train_loss = float(jnp.mean(jnp.concatenate(
+                    [jnp.atleast_1d(l) for l in epoch_losses])))
                 val_loss = self.validate(self.val_loader)
                 losses.append(train_loss)
                 epochs.append(epoch)

@@ -233,7 +233,23 @@ class SequentialTrainer(BaseTrainer):
             pred = forward(params, x, coord, enc, dec, enc_t, dec_t, None, False)
             return masked_mse(pred, target, sample_mask, node_mask)
 
+        def step_update(params, opt_state, rng, batch):
+            """One optimizer step from a (traced) batch dict — used inside
+            the whole-epoch scan (base_trainer)."""
+            coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
+
+            def loss_fn(p):
+                pred = forward(p, batch["input"], coord, enc, dec,
+                               enc_t, dec_t, rng, True)
+                return masked_mse(pred, batch["target"],
+                                  batch["sample_mask"], node_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
         self._train_fn, self._eval_fn = train_fn, eval_fn
+        self._step_update = step_update
 
     def train_step(self, batch) -> jax.Array:
         if self._train_fn is None:

@@ -177,13 +177,27 @@ class StaticTrainer(BaseTrainer):
     def _build_steps(self):
         model, tx = self.model, self.tx
         latent = self.latent_tokens_coord
-        vx = self.coord_mode == "vx"
 
         def forward(params, coord, pndata, enc, dec, enc_t, dec_t, rng, training):
             rngs = {"edge_drop": rng, "dropout": rng} if training else None
             return model.apply(params, latent, coord, pndata, enc, dec,
                                training=training, rngs=rngs,
                                encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
+
+        def step_update(params, opt_state, rng, batch):
+            """One optimizer step from a (traced) batch dict — used by the
+            per-step jit AND inside the whole-epoch scan (base_trainer)."""
+            coord, pndata, target, sm, nm, enc, dec, enc_t, dec_t = \
+                self._step_args(batch)
+
+            def loss_fn(p):
+                pred = forward(p, coord, pndata, enc, dec, enc_t, dec_t,
+                               rng, True)
+                return masked_mse(pred, target, sm, nm)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
 
         # Note: params are NOT donated — fit() keeps best-params snapshots by
         # reference, which donation would invalidate.
@@ -207,6 +221,7 @@ class StaticTrainer(BaseTrainer):
             return pred, masked_mse(pred, target, sample_mask, node_mask)
 
         self._train_fn, self._eval_fn = train_fn, eval_fn
+        self._step_update = step_update
 
     def _step_args(self, batch):
         coord, pndata, enc, dec, enc_t, dec_t = self._model_args(batch)

@@ -1,0 +1,109 @@
+"""Whole-epoch lax.scan training path vs the per-step path.
+
+With device-resident data (dataset.device_data) the trainers run each epoch
+as ONE jitted scan — batch gather, forward/backward, and optimizer update per
+step — instead of one dispatch per step (base_trainer._build_epoch_fn).
+These tests pin that the scan path (a) is taken, and (b) produces the same
+training trajectory as per-step execution: identical batch order (shared
+epoch_index_matrix rng), identical math (shared _step_update). The scan
+path folds a per-step rng; with no edge drop / dropout configured the rng is
+unused, so losses must match exactly.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synthetic import (  # noqa: E402
+    make_sequential_fx_dataset,
+    make_static_fx_dataset,
+)
+from test_train_e2e import TINY_MODEL, TINY_OPT, _paths  # noqa: E402
+
+
+def _static_config(tmp_path, name, device_data):
+    make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
+    return {
+        "setup": {"seed": 0, "trainer_name": "static", "train": True,
+                  "data_parallel": 1, "epoch_scan": "always"},
+        "model": TINY_MODEL,
+        "dataset": {
+            "name": name,
+            "metaname": "elliptic_pdes/Poisson-Gauss",
+            "base_path": str(tmp_path),
+            "train_size": 16, "val_size": 4, "test_size": 4,
+            "batch_size": 6, "shuffle": True, "device_data": device_data,
+        },
+        "optimizer": TINY_OPT,
+        "path": _paths(tmp_path, name),
+    }
+
+
+def _epoch_losses(trainer, n_epochs=2):
+    """Losses from n epochs via whichever path the trainer takes."""
+    out = []
+    if trainer._scan_available():
+        for _ in range(n_epochs):
+            out.append(np.asarray(trainer.train_epoch_scan()))
+        return np.concatenate(out), True
+    for _ in range(n_epochs):
+        for batch in trainer.train_loader:
+            out.append(float(trainer.train_step(batch)))
+    return np.asarray(out), False
+
+
+def test_static_fx_scan_matches_per_step(tmp_path):
+    from gaot_tpu.train import StaticTrainer
+
+    t_scan = StaticTrainer(_static_config(tmp_path, "scan_toy", True))
+    losses_scan, used_scan = _epoch_losses(t_scan)
+    assert used_scan, "device_data loader should enable the scan path"
+
+    t_step = StaticTrainer(_static_config(tmp_path, "step_toy", False))
+    losses_step, used_scan2 = _epoch_losses(t_step)
+    assert not used_scan2
+
+    np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-5, atol=1e-7)
+
+
+def test_static_fx_fit_uses_scan(tmp_path):
+    from gaot_tpu.train import StaticTrainer
+
+    trainer = StaticTrainer(_static_config(tmp_path, "scan_fit", True))
+    trainer.fit(verbose=False)
+    assert trainer._epoch_fn is not None  # scan path was built and used
+    metric = trainer.datarow["relative error (direct)"]
+    assert np.isfinite(metric) and metric > 0
+
+
+def test_sequential_scan_matches_per_step(tmp_path):
+    from gaot_tpu.train import SequentialTrainer
+
+    def cfg(name, device_data):
+        make_sequential_fx_dataset(str(tmp_path / f"{name}.npz"))
+        return {
+            "setup": {"seed": 0, "trainer_name": "sequential", "train": True,
+                      "data_parallel": 1, "epoch_scan": "always"},
+            "model": TINY_MODEL,
+            "dataset": {
+                "name": name,
+                "metaname": "incompressible_fluids/NS-Gauss",
+                "base_path": str(tmp_path),
+                "train_size": 4, "val_size": 2, "test_size": 2,
+                "batch_size": 6, "shuffle": True, "device_data": device_data,
+                "max_time_diff": 6, "time_step": 2,
+                "stepper_mode": "time_der", "predict_mode": "autoregressive",
+            },
+            "optimizer": TINY_OPT,
+            "path": _paths(tmp_path, name),
+        }
+
+    t_scan = SequentialTrainer(cfg("seq_scan", True))
+    losses_scan, used_scan = _epoch_losses(t_scan)
+    assert used_scan
+
+    t_step = SequentialTrainer(cfg("seq_step", False))
+    losses_step, _ = _epoch_losses(t_step)
+    np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-5, atol=1e-7)
