@@ -27,7 +27,7 @@ def log(*a):
 
 def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
                    compute_dtype="bfloat16", attn_backend="auto",
-                   use_tgraph=False, use_buckets=False):
+                   use_tgraph=False, use_buckets=False, with_scan=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -98,6 +98,9 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    if not with_scan:
+        return train_step, None, None, params, opt_state, pndata, target
+
     # Whole-epoch scan over a device-resident dataset — the trainers' actual
     # training path for dataset.device_data (base_trainer._build_epoch_fn):
     # per scan step, gather the batch by index and run the same update.
@@ -135,9 +138,11 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
         return params, opt_state, losses
 
     def make_epoch_indices(epoch_rng, k):
-        return jnp.asarray(
-            epoch_rng.permutation(train_size)[: k * batch_size]
-            .reshape(k, batch_size).astype(np.int32))
+        # Wrap the permutation when k*batch_size exceeds the dataset (large
+        # BENCH_BATCH / BENCH_SCAN_STEPS) — sample reuse is fine for timing.
+        perm = epoch_rng.permutation(train_size)
+        return jnp.asarray(np.resize(perm, k * batch_size)
+                           .reshape(k, batch_size).astype(np.int32))
 
     return (train_step, epoch_fn, make_epoch_indices, params, opt_state,
             pndata, target)
@@ -169,7 +174,8 @@ def main():
      target) = build_workload(
         batch_size=batch_size, num_nodes=num_nodes,
         compute_dtype=compute_dtype, attn_backend=attn_backend,
-        use_tgraph=use_tgraph, use_buckets=use_buckets)
+        use_tgraph=use_tgraph, use_buckets=use_buckets,
+        with_scan=(mode == "scan"))
 
     key = jax.random.key(1)
     if mode == "scan":
@@ -227,6 +233,10 @@ def main():
         "value": round(sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
+        # vs_baseline is cumulative vs the round-1 initial per-step fp32
+        # implementation; 'mode' records which training path this run timed
+        # (scan = whole-epoch lax.scan, step = one dispatch per step).
+        "mode": mode,
     }))
 
 

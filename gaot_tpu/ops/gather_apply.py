@@ -121,16 +121,7 @@ def gather_multiply_reduce_nbc(coef: jnp.ndarray, f: jnp.ndarray,
     contiguous [B*C] rows (see _bulk_gather); all gathers are issued K-major
     so the Pallas reduce consumers stream the rows in natural layout.
     """
-    q, k, c = coef.shape
-    n, b, _ = f.shape
-    if _pallas_consumers_ok(coef, f, tquery):
-        from .pallas.multiply_reduce import multiply_reduce_k
-
-        gath_km = _bulk_gather(f.reshape(n, b * c), indices.T)   # [K, Q, W]
-        out = multiply_reduce_k(jnp.swapaxes(coef, 0, 1), gath_km, b)
-        return out.reshape(q, b, c)
-    gath = _bulk_gather(f.reshape(n, b * c), indices).reshape(q, k, b, c)
-    return jnp.einsum("qkc,qkbc->qbc", coef, gath)
+    return _nbc_fwd(coef, f, indices, edge_pos, tquery, tmask)[0]
 
 
 def _nbc_fwd(coef, f, indices, edge_pos, tquery, tmask):
@@ -225,16 +216,6 @@ def _mulred_b_dispatch(gath_km: jnp.ndarray, dout2: jnp.ndarray,
     return jnp.einsum("kqbc,qbc->kqc", gath, dout2.reshape(qx, b, c))
 
 
-def _bucketed_forward(coefs, f, indices):
-    n, b, c = f.shape
-    f2d = f.reshape(n, b * c)
-    outs = []
-    for coef, idx in zip(coefs, indices):
-        gath_km = _bulk_gather(f2d, idx.T)                       # [Kb, Qb, W]
-        outs.append(_mulred_k_dispatch(jnp.swapaxes(coef, 0, 1), gath_km, b))
-    return jnp.concatenate(outs, axis=0).reshape(-1, b, c)       # [R, B, C]
-
-
 @jax.custom_vjp
 def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
                                     tmask):
@@ -252,7 +233,7 @@ def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
     the dense layout's (per-bucket transposes would instead accumulate a
     full [N, B·C] d_f per bucket, which erases the win — measured on v5e).
     """
-    return _bucketed_forward(coefs, f, indices)
+    return _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask)[0]
 
 
 def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask):

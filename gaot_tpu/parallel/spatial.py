@@ -30,27 +30,34 @@ import threading
 import jax
 from jax.sharding import PartitionSpec as P
 
+# Process-global default (trainer entry point) with a thread-local override
+# (the context manager). The global must NOT be thread-local: tracing can
+# happen on a different thread than the one that configured the trainer.
+_global_enabled = False
 _state = threading.local()
 
 
 def spatial_enabled() -> bool:
-    return getattr(_state, "enabled", False)
+    override = getattr(_state, "override", None)
+    return _global_enabled if override is None else override
 
 
 @contextlib.contextmanager
 def spatial_sharding(enabled: bool = True):
-    """Enable spatial-sharding hints inside this context (trace-time)."""
-    prev = spatial_enabled()
-    _state.enabled = enabled
+    """Enable spatial-sharding hints inside this context (trace-time,
+    this thread only)."""
+    prev = getattr(_state, "override", None)
+    _state.override = enabled
     try:
         yield
     finally:
-        _state.enabled = prev
+        _state.override = prev
 
 
 def enable_spatial_sharding(enabled: bool = True) -> None:
     """Process-global switch (trainer entry point; tests use the context)."""
-    _state.enabled = enabled
+    global _global_enabled
+    _global_enabled = enabled
 
 
 def shard_queries(x: jax.Array, axis: int = -2) -> jax.Array:

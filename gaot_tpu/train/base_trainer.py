@@ -118,12 +118,14 @@ class BaseTrainer(ABC):
             raise ValueError(
                 f"batch_size {self.batch_size} not divisible by data_parallel {dp}")
         self.mesh = make_mesh(dp, mp)
+        # Sequence parallelism over 'model' (parallel/spatial.py): the model's
+        # shard_queries hints become active, and jitted steps need the mesh in
+        # context to resolve their PartitionSpecs. Explicitly disabled (not
+        # just left alone) when off, so a later trainer in the same process
+        # does not inherit a previous trainer's spatial mode.
         if self.setup_config.spatial_parallel:
-            # Sequence parallelism over 'model' (parallel/spatial.py): the
-            # model's shard_queries hints become active, and jitted steps need
-            # the mesh in context to resolve their PartitionSpecs.
             jax.set_mesh(self.mesh)
-            enable_spatial_sharding(True)
+        enable_spatial_sharding(self.setup_config.spatial_parallel)
 
     # ------------------------------------------------------------------
     @abstractmethod
