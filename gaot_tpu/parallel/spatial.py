@@ -60,6 +60,19 @@ def enable_spatial_sharding(enabled: bool = True) -> None:
     _global_enabled = enabled
 
 
+def set_ambient_mesh(mesh) -> None:
+    """Install ``mesh`` as jax's ambient mesh, or reset to an inert empty
+    mesh when ``mesh`` is None — so a spatial trainer's mesh never leaks
+    into later trainers/jits in the same process."""
+    import numpy as np
+
+    if mesh is None:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[0]), ())  # 0-d: no named axes
+    jax.set_mesh(mesh)
+
+
 def shard_queries(x: jax.Array, axis: int = -2) -> jax.Array:
     """Hint XLA to shard the query/token axis of ``x`` over 'model'.
 

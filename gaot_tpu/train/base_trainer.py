@@ -35,7 +35,7 @@ from ..core.config import (
 )
 from ..core.metadata import DATASET_METADATA
 from ..parallel.mesh import init_distributed, make_mesh, shard_batch, shard_params
-from ..parallel.spatial import enable_spatial_sharding
+from ..parallel.spatial import enable_spatial_sharding, set_ambient_mesh
 from ..utils.plotting import plot_losses
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .schedules import make_optimizer
@@ -120,11 +120,11 @@ class BaseTrainer(ABC):
         self.mesh = make_mesh(dp, mp)
         # Sequence parallelism over 'model' (parallel/spatial.py): the model's
         # shard_queries hints become active, and jitted steps need the mesh in
-        # context to resolve their PartitionSpecs. Explicitly disabled (not
-        # just left alone) when off, so a later trainer in the same process
-        # does not inherit a previous trainer's spatial mode.
-        if self.setup_config.spatial_parallel:
-            jax.set_mesh(self.mesh)
+        # context to resolve their PartitionSpecs. Explicitly reset (not just
+        # left alone) when off, so a later trainer in the same process does
+        # not inherit a previous trainer's spatial mode or ambient mesh.
+        set_ambient_mesh(self.mesh if self.setup_config.spatial_parallel
+                         else None)
         enable_spatial_sharding(self.setup_config.spatial_parallel)
 
     # ------------------------------------------------------------------

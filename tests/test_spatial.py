@@ -7,6 +7,8 @@ query axis over the mesh's 'model' axis. These tests check that
 - a full fx forward and a train-step gradient are numerically identical
   with spatial sharding on vs off (XLA inserts collectives, not math).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -86,6 +88,52 @@ def test_forward_matches_unsharded(mesh):
     with jax.set_mesh(mesh), spatial_sharding():
         out = np.asarray(jax.jit(lambda p: model.apply(p, *args))(params))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_trainer_spatial_parallel_end_to_end(tmp_path):
+    """StaticTrainer with setup.spatial_parallel trains and evaluates; the
+    global spatial mode is reset by a later non-spatial trainer."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_static_fx_dataset
+    from test_train_e2e import TINY_MODEL, TINY_OPT, _paths
+
+    from gaot_tpu.parallel import spatial_enabled
+    from gaot_tpu.train import StaticTrainer
+
+    def cfg(name, spatial):
+        make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
+        return {
+            "setup": {"seed": 0, "trainer_name": "static", "train": True,
+                      "data_parallel": 2, "model_parallel": 2,
+                      "spatial_parallel": spatial},
+            "model": TINY_MODEL,
+            "dataset": {"name": name,
+                        "metaname": "elliptic_pdes/Poisson-Gauss",
+                        "base_path": str(tmp_path),
+                        "train_size": 8, "val_size": 2, "test_size": 2,
+                        "batch_size": 4, "shuffle": False,
+                        "device_data": False},
+            "optimizer": TINY_OPT,
+            "path": _paths(tmp_path, name),
+        }
+
+    from gaot_tpu.parallel.spatial import enable_spatial_sharding, set_ambient_mesh
+
+    try:
+        trainer = StaticTrainer(cfg("sp_e2e", True))
+        assert spatial_enabled()
+        trainer.fit(verbose=False)
+        metric = trainer.datarow["relative error (direct)"]
+        assert np.isfinite(metric) and metric > 0
+
+        StaticTrainer(cfg("sp_off", False))
+        assert not spatial_enabled()
+    finally:
+        # never leak the ambient mesh / global flag into other tests
+        set_ambient_mesh(None)
+        enable_spatial_sharding(False)
 
 
 def test_train_step_gradients_match_unsharded(mesh):
