@@ -28,7 +28,7 @@ from ..ops.gather_apply import unpermute_rows
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from .agno import AGNO
 from .gemb import GeometricEmbedding, node_pos_encode
-from .mlp import ChannelMLP, SimpleMLP
+from .mlp import ChannelMLP, ScaleWeightMLP
 
 
 def _kernel_coord_dim(config: MAGNOConfig) -> int:
@@ -100,11 +100,11 @@ class _MAGNOBase(nn.Module):
             self.recovery = ChannelMLP(
                 out_channels=self.agno_out_channels, n_layers=1, dtype=self.dtype)
         if cfg.use_scale_weights:
-            self.scale_weighting = SimpleMLP(
-                output_size=len(cfg.scales),
+            # Exactly Linear -> ReLU -> Linear, matching the reference's raw
+            # nn.Sequential (magno.py:150-156) — NOT its 3-layer MLP class.
+            self.scale_weighting = ScaleWeightMLP(
+                num_scales=len(cfg.scales),
                 hidden_size=cfg.hidden_size // 4,
-                num_layers=3,
-                activation=nn.relu,
                 dtype=self.dtype,
             )
 

@@ -54,6 +54,23 @@ class ChannelMLP(nn.Module):
         return x
 
 
+class ScaleWeightMLP(nn.Module):
+    """Two-linear scale-weight head: Dense -> ReLU -> Dense.
+
+    Mirrors the reference's raw ``nn.Sequential(Linear, ReLU, Linear)``
+    used for learned multiscale weights (src/model/layers/magno.py:150-156).
+    """
+
+    num_scales: int
+    hidden_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden_size, dtype=self.dtype, name="fc0")(x))
+        return nn.Dense(self.num_scales, dtype=self.dtype, name="fc1")(h)
+
+
 class SimpleMLP(nn.Module):
     """Generic MLP; with num_layers <= 2 collapses to a single Dense
     (matching reference MLP semantics, src/model/layers/mlp.py:49-59)."""

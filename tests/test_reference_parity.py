@@ -22,71 +22,16 @@ pytestmark = pytest.mark.skipif(
     reason="reference snapshot not mounted at /root/reference")
 
 
-def _linear(sd, name, p):
-    import torch
-
-    sd[f"{name}.weight"] = torch.tensor(np.asarray(p["kernel"]).T.copy())
-    if "bias" in p:
-        sd[f"{name}.bias"] = torch.tensor(np.asarray(p["bias"]).copy())
-
-
-def _conv1d(sd, name, p):
-    import torch
-
-    sd[f"{name}.weight"] = torch.tensor(np.asarray(p["kernel"]).T.copy()[..., None])
-    sd[f"{name}.bias"] = torch.tensor(np.asarray(p["bias"]).copy())
-
-
-def _map_magno(sd, prefix, p, final_name):
-    """Map one MAGNO encoder/decoder block (agno MLP, lifting/projection,
-    geoembed, recovery)."""
-    mlp = p["agno"]["channel_mlp"]
-    for i in range(len(mlp)):
-        _linear(sd, f"{prefix}.agno.channel_mlp.fcs.{i}", mlp[f"dense_{i}"])
-    _conv1d(sd, f"{prefix}.{final_name}.fcs.0", p[final_name]["dense_0"])
-    _linear(sd, f"{prefix}.geoembed.mlp.0", p["geoembed"]["stat_dense0"])
-    _linear(sd, f"{prefix}.geoembed.mlp.2", p["geoembed"]["stat_dense1"])
-    _conv1d(sd, f"{prefix}.recovery.fcs.0", p["recovery"]["dense_0"])
-
-
-def _map_block(sd, prefix, p, skip=False):
-    sd_add = lambda n, q: _linear(sd, f"{prefix}.{n}", q)
-    import torch
-
-    sd[f"{prefix}.attn_norm.weight"] = torch.tensor(
-        np.asarray(p["attn_norm"]["weight"]).copy())
-    sd[f"{prefix}.ffn_norm.weight"] = torch.tensor(
-        np.asarray(p["ffn_norm"]["weight"]).copy())
-    for n in ["q_proj", "k_proj", "v_proj", "o_proj"]:
-        sd_add(f"attn.{n}", p["attn"][n])
-    for n in ["w1", "w2", "w3"]:
-        sd_add(f"ffn.{n}", p["ffn"][n])
-    if skip:
-        sd_add("skip_proj", p["skip_proj"])
-
-
 def flax_to_reference_state_dict(params):
-    """Convert a gaot_tpu GAOT param tree to the reference torch state dict."""
-    p = params["params"]
-    sd = {}
-    _map_magno(sd, "encoder", p["encoder"], "lifting")
-    _map_magno(sd, "decoder", p["decoder"], "projection")
-    _linear(sd, "patch_linear", p["patch_linear"])
-    proc = p["processor"]
-    if "input_proj" in proc:
-        _linear(sd, "processor.input_proj", proc["input_proj"])
-    if "output_proj" in proc:
-        _linear(sd, "processor.output_proj", proc["output_proj"])
-    enc_ids = sorted(int(k.split("_")[1]) for k in proc if k.startswith("encoder_"))
-    for i in enc_ids:
-        _map_block(sd, f"processor.encoder_layers.{i}", proc[f"encoder_{i}"])
-    if "middle" in proc:
-        _map_block(sd, "processor.middle_layer", proc["middle"])
-    dec_ids = sorted(int(k.split("_")[1]) for k in proc if k.startswith("decoder_"))
-    for i in dec_ids:
-        _map_block(sd, f"processor.decoder_layers.{i}", proc[f"decoder_{i}"],
-                   skip=True)
-    return sd
+    """Convert a gaot_tpu GAOT param tree to the reference torch state dict
+    (package mapping, gaot_tpu/utils/torch_interop.py — exercised against
+    the real reference model by these tests)."""
+    import torch
+
+    from gaot_tpu.utils.torch_interop import flax_to_torch_state_dict
+
+    return {k: torch.tensor(v)
+            for k, v in flax_to_torch_state_dict(params).items()}
 
 
 @pytest.mark.parametrize("num_layers", [2, 3])
