@@ -134,6 +134,16 @@ def test_import_script_end_to_end(tmp_path):
     for a, b in zip(jax.tree.leaves(donor.params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # and back out: export the Orbax ckpt as a reference .pt
+    import export_torch_ckpt
+
+    back_pt = str(tmp_path / "back.pt")
+    export_torch_ckpt.main(cfg_path, out_path, back_pt)
+    sd_back = torch.load(back_pt, weights_only=True)["model"]
+    assert set(sd_back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd_back[k].numpy(), sd[k].numpy())
+
 
 def test_module_prefix_stripped():
     import jax
