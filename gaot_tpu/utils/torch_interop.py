@@ -10,7 +10,8 @@ and back. Covered surface — everything the reference main path trains:
   attention projections, lifting/projection ChannelMLPs, statistical and
   pointnet geometric embeddings + recovery, learned multiscale weights;
 - ``patch_linear`` and the UViT processor (input/output proj, per-block
-  RMSNorms, GQA projections, SwiGLU FFN, decoder skip projections).
+  RMSNorms, GQA projections, SwiGLU FFN, decoder skip projections,
+  time-conditional norm corrections).
 
 Both directions are STRICT: params the mapping does not cover (e.g. a
 config knob this table misses) raise with the offending paths listed, so a
@@ -101,6 +102,15 @@ def mapping_entries(params) -> List[Entry]:
         for w in ("w1", "w2", "w3"):
             ents.append((base + ("ffn", w),
                          f"processor.{torch_name}.ffn.{w}", "linear"))
+        for mod in ("attn", "ffn"):           # time-conditional norm
+            if "correction" in b.get(mod, {}):
+                for m in ("mlp_scale", "mlp_bias"):
+                    # reference MLP(num_layers=2) is a single Linear in a
+                    # ModuleList (mlp.py:49-52) → '<m>.layers.0'
+                    ents.append(
+                        (base + (mod, "correction", m, "Dense_0"),
+                         f"processor.{torch_name}.{mod}.correction.{m}"
+                         f".layers.0", "linear"))
         if skip and "skip_proj" in b:
             ents.append((base + ("skip_proj",),
                          f"processor.{torch_name}.skip_proj", "linear"))

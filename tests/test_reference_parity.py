@@ -34,8 +34,9 @@ def flax_to_reference_state_dict(params):
             for k, v in flax_to_torch_state_dict(params).items()}
 
 
-@pytest.mark.parametrize("num_layers", [2, 3])
-def test_forward_matches_pytorch_reference(num_layers):
+@pytest.mark.parametrize("num_layers,use_cond", [(2, False), (3, False),
+                                                 (3, True)])
+def test_forward_matches_pytorch_reference(num_layers, use_cond):
     import jax
     import jax.numpy as jnp
     import torch
@@ -63,16 +64,20 @@ def test_forward_matches_pytorch_reference(num_layers):
                       "mlp_layers": 1, "lifting_channels": lifting},
             "transformer": {"patch_size": 2, "hidden_size": hidden,
                             "num_layers": num_layers,
-                            "attn_config": {"num_heads": 2, "num_kv_heads": 2}},
+                            "attn_config": {"num_heads": 2, "num_kv_heads": 2,
+                                            "use_conditional_norm": use_cond}},
         },
     })
     model = GAOT(input_size=3, output_size=2, config=cfg)
     to_dev = lambda g: PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
+    cond = (jnp.asarray(rng.uniform(0.1, 1.0, (b, 1)).astype(np.float32))
+            if use_cond else None)
     params = model.init(jax.random.key(0), jnp.asarray(lat), jnp.asarray(coords),
-                        jnp.asarray(pndata), [to_dev(enc_g)], [to_dev(dec_g)])
+                        jnp.asarray(pndata), [to_dev(enc_g)], [to_dev(dec_g)],
+                        condition=cond)
     out_jax = np.asarray(model.apply(params, jnp.asarray(lat), jnp.asarray(coords),
                                      jnp.asarray(pndata), [to_dev(enc_g)],
-                                     [to_dev(dec_g)]))
+                                     [to_dev(dec_g)], condition=cond))
 
     # --- reference model with transplanted weights ---
     ref = reference_stub.build_reference_model(
@@ -86,7 +91,8 @@ def test_forward_matches_pytorch_reference(num_layers):
         transformer_kwargs=dict(patch_size=2, hidden_size=hidden,
                                 num_layers=num_layers,
                                 positional_embedding="absolute"),
-        attn_kwargs=dict(num_heads=2, num_kv_heads=2),
+        attn_kwargs=dict(num_heads=2, num_kv_heads=2,
+                         use_conditional_norm=use_cond),
     )
     sd = flax_to_reference_state_dict(params)
     missing, unexpected = ref.load_state_dict(sd, strict=True), None
@@ -104,6 +110,7 @@ def test_forward_matches_pytorch_reference(num_layers):
             pndata=torch.tensor(pndata),
             encoder_nbrs=[csr_dict(enc_csr)],
             decoder_nbrs=[csr_dict(dec_csr)],
+            condition=torch.tensor(np.asarray(cond)) if use_cond else None,
         ).numpy()
 
     np.testing.assert_allclose(out_jax, out_ref, rtol=1e-3, atol=1e-4)

@@ -8,7 +8,7 @@ import pytest
 
 
 def _make_params(use_scale_weights=False, attention_type="cosine",
-                 embedding_method="statistical"):
+                 embedding_method="statistical", use_conditional_norm=False):
     import jax
     import jax.numpy as jnp
 
@@ -34,15 +34,18 @@ def _make_params(use_scale_weights=False, attention_type="cosine",
                       "attention_type": attention_type,
                       "embedding_method": embedding_method},
             "transformer": {"patch_size": 2, "hidden_size": 16, "num_layers": 3,
-                            "attn_config": {"num_heads": 2, "num_kv_heads": 2}},
+                            "attn_config": {
+                                "num_heads": 2, "num_kv_heads": 2,
+                                "use_conditional_norm": use_conditional_norm}},
         },
     })
     model = GAOT(input_size=2, output_size=1, config=cfg)
     pndata = jnp.asarray(rng.normal(size=(2, n, 2)).astype(np.float32))
     graphs = [to_dev(enc)] * len(cfg.args.magno.scales)
     dgraphs = [to_dev(dec)] * len(cfg.args.magno.scales)
+    cond = jnp.ones((2, 1), np.float32) if use_conditional_norm else None
     return model.init(jax.random.key(0), jnp.asarray(lat), jnp.asarray(coords),
-                      pndata, graphs, dgraphs)
+                      pndata, graphs, dgraphs, condition=cond)
 
 
 @pytest.mark.parametrize("kwargs", [
@@ -50,6 +53,7 @@ def _make_params(use_scale_weights=False, attention_type="cosine",
     dict(use_scale_weights=True),
     dict(attention_type="dot_product"),
     dict(embedding_method="pointnet"),
+    dict(use_conditional_norm=True),
 ])
 def test_roundtrip(kwargs):
     import jax
