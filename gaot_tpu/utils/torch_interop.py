@@ -182,6 +182,11 @@ def torch_to_flax_params(state_dict: Dict, params_template):
     for k, v in state_dict.items():
         if k.startswith("module."):
             k = k[len("module."):]
+        if ".rotary_emb." in k:
+            # rotary-embedding-torch registers its deterministic inverse
+            # frequencies as a parameter (reference attn.py:75-76); gaot_tpu
+            # computes RoPE closed-form, so these carry no trained state.
+            continue
         sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                            else v)
 
@@ -190,6 +195,17 @@ def torch_to_flax_params(state_dict: Dict, params_template):
     p = params_template.get("params", params_template)
     ents = mapping_entries(params_template)
     _check_coverage(p, ents)
+    expected = []
+    for path, name, kind in ents:
+        sub = _get(p, path)
+        expected.append(f"{name}.weight")
+        if kind != "norm" and "bias" in sub:
+            expected.append(f"{name}.bias")
+    absent = [k for k in expected if k not in sd]
+    if absent:
+        raise ValueError(
+            "checkpoint is missing keys the model config requires (config/"
+            f"checkpoint mismatch): {absent}")
 
     out: dict = {}
     used = set()

@@ -25,8 +25,8 @@ def main(config_path: str, ckpt_dir: str = None, out: str = None) -> None:
 
     cfg = merge_config(GAOTConfig, load_config_file(config_path))
     cfg.setup.train = False
-    trainer_cls = (SequentialTrainer if cfg.setup.trainer_name == "sequential"
-                   else StaticTrainer)
+    trainer_cls = {"static": StaticTrainer,
+                   "sequential": SequentialTrainer}[cfg.setup.trainer_name]
     trainer = trainer_cls(cfg)
 
     ckpt_dir = ckpt_dir or cfg.path.ckpt_path

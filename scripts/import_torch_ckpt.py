@@ -28,8 +28,8 @@ def main(config_path: str, ckpt_path: str, out: str = None) -> None:
 
     cfg = merge_config(GAOTConfig, load_config_file(config_path))
     cfg.setup.train = False   # build model + data shapes only
-    trainer_cls = (SequentialTrainer if cfg.setup.trainer_name == "sequential"
-                   else StaticTrainer)
+    trainer_cls = {"static": StaticTrainer,
+                   "sequential": SequentialTrainer}[cfg.setup.trainer_name]
     trainer = trainer_cls(cfg)
 
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)

@@ -16,29 +16,18 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
-from synthetic import (  # noqa: E402
-    make_sequential_fx_dataset,
-    make_static_fx_dataset,
-)
+from synthetic import make_sequential_fx_dataset  # noqa: E402
 from test_train_e2e import TINY_MODEL, TINY_OPT, _paths  # noqa: E402
+from test_train_e2e import static_toy_config  # noqa: E402
 
 
 def _static_config(tmp_path, name, device_data):
-    make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
-    return {
-        "setup": {"seed": 0, "trainer_name": "static", "train": True,
-                  "data_parallel": 1, "epoch_scan": "always"},
-        "model": TINY_MODEL,
-        "dataset": {
-            "name": name,
-            "metaname": "elliptic_pdes/Poisson-Gauss",
-            "base_path": str(tmp_path),
-            "train_size": 16, "val_size": 4, "test_size": 4,
-            "batch_size": 6, "shuffle": True, "device_data": device_data,
-        },
-        "optimizer": TINY_OPT,
-        "path": _paths(tmp_path, name),
-    }
+    return static_toy_config(
+        tmp_path, name,
+        setup={"data_parallel": 1, "epoch_scan": "always"},
+        dataset={"train_size": 16, "val_size": 4, "test_size": 4,
+                 "batch_size": 6, "shuffle": True,
+                 "device_data": device_data})
 
 
 def _epoch_losses(trainer, n_epochs=2):

@@ -95,7 +95,7 @@ def test_forward_matches_pytorch_reference(num_layers, use_cond):
                          use_conditional_norm=use_cond),
     )
     sd = flax_to_reference_state_dict(params)
-    missing, unexpected = ref.load_state_dict(sd, strict=True), None
+    ref.load_state_dict(sd, strict=True)
     ref.eval()
 
     def csr_dict(csr):

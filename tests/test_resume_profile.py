@@ -13,25 +13,11 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
-from synthetic import make_static_fx_dataset  # noqa: E402
-from test_train_e2e import TINY_MODEL, TINY_OPT, _paths  # noqa: E402
+from test_train_e2e import static_toy_config  # noqa: E402
 
 
 def _config(tmp_path, name, extra_setup=None):
-    make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
-    setup = {"seed": 0, "trainer_name": "static", "train": True}
-    setup.update(extra_setup or {})
-    return {
-        "setup": setup,
-        "model": TINY_MODEL,
-        "dataset": {"name": name,
-                    "metaname": "elliptic_pdes/Poisson-Gauss",
-                    "base_path": str(tmp_path),
-                    "train_size": 8, "val_size": 2, "test_size": 2,
-                    "batch_size": 4},
-        "optimizer": TINY_OPT,
-        "path": _paths(tmp_path, name),
-    }
+    return static_toy_config(tmp_path, name, setup=extra_setup)
 
 
 def test_resume_restores_optimizer_state(tmp_path):

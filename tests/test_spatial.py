@@ -96,28 +96,17 @@ def test_trainer_spatial_parallel_end_to_end(tmp_path):
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from synthetic import make_static_fx_dataset
-    from test_train_e2e import TINY_MODEL, TINY_OPT, _paths
+    from test_train_e2e import static_toy_config
 
     from gaot_tpu.parallel import spatial_enabled
     from gaot_tpu.train import StaticTrainer
 
     def cfg(name, spatial):
-        make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
-        return {
-            "setup": {"seed": 0, "trainer_name": "static", "train": True,
-                      "data_parallel": 2, "model_parallel": 2,
-                      "spatial_parallel": spatial},
-            "model": TINY_MODEL,
-            "dataset": {"name": name,
-                        "metaname": "elliptic_pdes/Poisson-Gauss",
-                        "base_path": str(tmp_path),
-                        "train_size": 8, "val_size": 2, "test_size": 2,
-                        "batch_size": 4, "shuffle": False,
-                        "device_data": False},
-            "optimizer": TINY_OPT,
-            "path": _paths(tmp_path, name),
-        }
+        return static_toy_config(
+            tmp_path, name,
+            setup={"data_parallel": 2, "model_parallel": 2,
+                   "spatial_parallel": spatial},
+            dataset={"shuffle": False, "device_data": False})
 
     from gaot_tpu.parallel.spatial import enable_spatial_sharding, set_ambient_mesh
 

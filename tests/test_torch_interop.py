@@ -73,6 +73,38 @@ def test_roundtrip(kwargs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_missing_checkpoint_key_raises_descriptively():
+    from gaot_tpu.utils.torch_interop import (
+        flax_to_torch_state_dict,
+        torch_to_flax_params,
+    )
+
+    params = _make_params()
+    sd = flax_to_torch_state_dict(params)
+    del sd["patch_linear.weight"]
+    with pytest.raises(ValueError, match="missing keys"):
+        torch_to_flax_params(sd, params)
+
+
+def test_rope_frequency_keys_are_ignored():
+    import jax
+
+    from gaot_tpu.utils.torch_interop import (
+        flax_to_torch_state_dict,
+        torch_to_flax_params,
+    )
+
+    params = _make_params()
+    sd = flax_to_torch_state_dict(params)
+    # rotary-embedding-torch registers deterministic freqs as parameters;
+    # they carry no trained state and must not break the strict import.
+    sd["processor.encoder_layers.0.attn.rotary_emb.freqs"] = \
+        np.ones((8,), np.float32)
+    back = torch_to_flax_params(sd, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unconsumed_checkpoint_key_raises():
     from gaot_tpu.utils.torch_interop import (
         flax_to_torch_state_dict,
@@ -99,26 +131,14 @@ def test_import_script_end_to_end(tmp_path):
     import json
 
     import import_torch_ckpt
-    from synthetic import make_static_fx_dataset
-    from test_train_e2e import TINY_MODEL, TINY_OPT, _paths
+    from test_train_e2e import static_toy_config
 
     from gaot_tpu.train import StaticTrainer
     from gaot_tpu.train.checkpoint import restore_checkpoint
     from gaot_tpu.utils.torch_interop import flax_to_torch_state_dict
 
-    make_static_fx_dataset(str(tmp_path / "imp_toy.npz"))
-    config = {
-        "setup": {"seed": 0, "trainer_name": "static", "train": False,
-                  "test": False},
-        "model": TINY_MODEL,
-        "dataset": {"name": "imp_toy",
-                    "metaname": "elliptic_pdes/Poisson-Gauss",
-                    "base_path": str(tmp_path),
-                    "train_size": 8, "val_size": 2, "test_size": 2,
-                    "batch_size": 4},
-        "optimizer": TINY_OPT,
-        "path": _paths(tmp_path, "imp"),
-    }
+    config = static_toy_config(tmp_path, "imp_toy",
+                               setup={"train": False, "test": False})
     cfg_path = str(tmp_path / "imp.json")
     with open(cfg_path, "w") as f:
         json.dump(config, f)

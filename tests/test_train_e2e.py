@@ -43,6 +43,19 @@ def _paths(tmp_path, name):
     }
 
 
+def static_toy_config(tmp_path, name, setup=None, dataset=None):
+    """Shared static-fx toy experiment config (writes the dataset too)."""
+    make_static_fx_dataset(str(tmp_path / f"{name}.npz"))
+    s = {"seed": 0, "trainer_name": "static", "train": True}
+    s.update(setup or {})
+    d = {"name": name, "metaname": "elliptic_pdes/Poisson-Gauss",
+         "base_path": str(tmp_path), "train_size": 8, "val_size": 2,
+         "test_size": 2, "batch_size": 4}
+    d.update(dataset or {})
+    return {"setup": s, "model": TINY_MODEL, "dataset": d,
+            "optimizer": TINY_OPT, "path": _paths(tmp_path, name)}
+
+
 def test_static_trainer_fx_end_to_end(tmp_path):
     from gaot_tpu.train import StaticTrainer
 
