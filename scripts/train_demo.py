@@ -42,16 +42,26 @@ def make_dataset(path, num_samples, num_nodes, seed=0):
 
 def make_sequential_dataset(path, num_samples, num_nodes, num_timesteps=15,
                             seed=0):
-    """NS-Gauss-like traveling waves: u [S, T, N, 2] on fixed scattered coords."""
+    """Heat-equation-like multi-mode decay: u [S, T, N, 2] on fixed scattered
+    coords. The state at any time determines the future (distinct spatial
+    modes with distinct decay rates → the mode coefficients are recoverable
+    from one snapshot), so autoregressive rollout is WELL-POSED — unlike a
+    phase-ambiguous standing wave, where the sin component is unobservable
+    from a single state and rollout error is irreducible."""
     rng = np.random.default_rng(seed)
     coords = rng.uniform(0, 1, (num_nodes, 2)).astype(np.float32)
     t = np.linspace(0, 1, num_timesteps)
-    amp = rng.normal(size=(num_samples, 1, 1, 2)).astype(np.float32)
-    phase = rng.uniform(0, 2 * np.pi, (num_samples, 1, 1, 2)).astype(np.float32)
-    spatial = np.stack([np.sin(2 * np.pi * coords[:, 0]),
-                        np.cos(2 * np.pi * coords[:, 1])], -1)[None, None]
-    u = (amp * np.cos(2 * np.pi * t[None, :, None, None] + phase)
-         * (0.5 + spatial)).astype(np.float32)
+    # per-sample random mode coefficients; fixed modes + decay rates
+    modes = np.stack([
+        np.sin(2 * np.pi * coords[:, 0]) * np.sin(2 * np.pi * coords[:, 1]),
+        np.sin(4 * np.pi * coords[:, 0]) * np.sin(2 * np.pi * coords[:, 1]),
+        np.cos(2 * np.pi * coords[:, 0]) * np.sin(4 * np.pi * coords[:, 1]),
+    ], -1)                                                   # [N, M]
+    lam = np.array([0.8, 2.0, 3.5])                          # decay rates
+    a = rng.normal(size=(num_samples, 1, 1, modes.shape[-1], 2)).astype(np.float32)
+    decay = np.exp(-lam[None, None, None, :, None] * t[None, :, None, None, None])
+    u = np.sum(a * decay * modes[None, None, :, :, None],
+               axis=3).astype(np.float32)                    # [S, T, N, 2]
     x = np.broadcast_to(coords[None, None], (1, 1, num_nodes, 2))
     np.savez(path, u=u, x=np.ascontiguousarray(x))
 
