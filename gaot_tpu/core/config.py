@@ -256,6 +256,16 @@ class SetUpConfig:
     process_id: Optional[int] = None
     profile_dir: Optional[str] = None   # if set, capture a jax.profiler trace here
 
+    def __post_init__(self):
+        if self.trainer_name not in ("static", "sequential"):
+            raise ValueError(
+                f"trainer_name must be 'static' or 'sequential', "
+                f"got {self.trainer_name!r}")
+        if str(self.epoch_scan).lower() not in (
+                "auto", "always", "never", "true", "false"):
+            raise ValueError(
+                f"epoch_scan must be auto/always/never, got {self.epoch_scan!r}")
+
 
 @dataclass
 class ModelArgsConfig:
