@@ -148,6 +148,201 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
             pndata, target)
 
 
+def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
+                      latent=(64, 64), seed=0, compute_dtype="bfloat16",
+                      use_tgraph=True, use_buckets=True):
+    """Variable-coordinate (airfoil-like) training workload: per-sample
+    coordinates and graphs, device-resident split stacks, device-side batch
+    gather — the shape of work the trainers' vx path does per step.
+    Airfoil scale per the reference datasets (naca0012/rae2822: 5-20k nodes,
+    src/datasets/dataset.py:59-127)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gaot_tpu.core.config import ModelConfig, OptimizerConfig, merge_config
+    from gaot_tpu.data.graph_builder import GraphBuilder
+    from gaot_tpu.models import GAOT
+    from gaot_tpu.ops.padding import PaddedGraph, TransposeGraph
+    from gaot_tpu.train.schedules import make_optimizer
+    from gaot_tpu.train.static_trainer import masked_mse
+
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (train_size, num_nodes, 2)).astype(np.float32)
+    axes = [np.linspace(-1, 1, latent[0]), np.linspace(-1, 1, latent[1])]
+    lat = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 2).astype(np.float32)
+
+    model_cfg = merge_config(ModelConfig, {
+        "latent_tokens_size": list(latent),
+        "args": {
+            "magno": {"coord_dim": 2, "radius": 0.033, "hidden_size": 64,
+                      "mlp_layers": 3, "lifting_channels": 64,
+                      "use_transpose_backward": use_tgraph,
+                      "use_query_bucketing": use_buckets},
+            "transformer": {"patch_size": 2, "hidden_size": 256,
+                            "num_layers": 3},
+        },
+    })
+    builder = GraphBuilder.from_magno_config(model_cfg.args.magno)
+    t0 = time.perf_counter()
+    split = builder.build_vx_split(coords, lat, 0.033, [1.0])
+    if use_tgraph:
+        from gaot_tpu.data.graph_builder import attach_transpose_graphs
+
+        attach_transpose_graphs([split], lat.shape[0], 1)
+    log(f"vx graph build ({train_size} samples x {num_nodes} nodes): "
+        f"{time.perf_counter() - t0:.2f}s enc K={split.encoder[0].k} "
+        f"dec K={split.decoder[0].k}")
+
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[compute_dtype]
+    model = GAOT(input_size=1, output_size=1, config=model_cfg, dtype=dtype)
+    latent_j = jnp.asarray(lat)
+
+    dev = {
+        "x": jnp.asarray(split.coords),
+        "node_mask": jnp.asarray(split.node_mask),
+        "enc_idx": jnp.asarray(split.encoder[0].indices),
+        "enc_mask": jnp.asarray(split.encoder[0].mask),
+        "dec_idx": jnp.asarray(split.decoder[0].indices),
+        "dec_mask": jnp.asarray(split.decoder[0].mask),
+        "c": jnp.asarray(rng.normal(
+            size=(train_size, split.coords.shape[1], 1)).astype(np.float32)),
+        "u": jnp.asarray(rng.normal(
+            size=(train_size, split.coords.shape[1], 1)).astype(np.float32)),
+    }
+    if use_tgraph:
+        for pfx, tg in (("enc", split.encoder_t[0]), ("dec", split.decoder_t[0])):
+            dev[f"{pfx}_tpos"] = jnp.asarray(tg.edge_pos)
+            dev[f"{pfx}_tq"] = jnp.asarray(tg.query)
+            dev[f"{pfx}_tmask"] = jnp.asarray(tg.mask)
+
+    def batch_args(i):
+        enc = [PaddedGraph(dev["enc_idx"][i], dev["enc_mask"][i])]
+        dec = [PaddedGraph(dev["dec_idx"][i], dev["dec_mask"][i])]
+        enc_t = dec_t = None
+        if use_tgraph:
+            enc_t = [TransposeGraph(dev["enc_tpos"][i], dev["enc_tq"][i],
+                                    dev["enc_tmask"][i])]
+            dec_t = [TransposeGraph(dev["dec_tpos"][i], dev["dec_tq"][i],
+                                    dev["dec_tmask"][i])]
+        return enc, dec, enc_t, dec_t
+
+    i0 = jnp.arange(batch_size, dtype=jnp.int32)
+    enc, dec, enc_t, dec_t = batch_args(i0)
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(jax.random.key(0), latent_j, dev["x"][i0],
+                                 dev["c"][i0], enc, dec)
+    log(f"init: {time.perf_counter() - t0:.2f}s, "
+        f"params={sum(p.size for p in jax.tree.leaves(params))}")
+
+    opt_cfg = merge_config(OptimizerConfig, {
+        "name": "adamw",
+        "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": 1000},
+    })
+    tx, _ = make_optimizer(opt_cfg, steps_per_epoch=max(1, train_size // batch_size))
+    opt_state = tx.init(params)
+    mask = jnp.ones((batch_size,), dtype=bool)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def train_step(params, opt_state, rng_key, i):
+        enc, dec, enc_t, dec_t = batch_args(i)
+
+        def loss_fn(p):
+            pred = model.apply(p, latent_j, dev["x"][i], dev["c"][i], enc, dec,
+                               training=True, rngs={"edge_drop": rng_key},
+                               encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
+            return masked_mse(pred, dev["u"][i], mask, dev["node_mask"][i])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def make_indices(step_rng):
+        return jnp.asarray(step_rng.integers(0, train_size, batch_size,
+                                             ).astype(np.int32))
+
+    return train_step, make_indices, params, opt_state
+
+
+_PEAK_BF16_FLOPS = {
+    # Published dense-matmul peaks (TFLOP/s, bf16) by device_kind prefix.
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # Trillium
+    "TPU v6": 918e12,
+}
+
+
+def device_peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    # Longest-prefix match so 'TPU v5 lite' wins over 'TPU v5'.
+    best = None
+    for prefix, peak in _PEAK_BF16_FLOPS.items():
+        if kind.startswith(prefix) and (best is None or len(prefix) > len(best[0])):
+            best = (prefix, peak)
+    return kind, (best[1] if best else None)
+
+
+def compiled_flops(jitted, *args, **kwargs):
+    """Per-dispatch FLOPs from XLA's own cost model (forward + backward +
+    optimizer — everything inside the compiled program)."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
+def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters,
+                 compute_dtype, use_tgraph, use_buckets):
+    import jax
+
+    train_step, make_indices, params, opt_state = build_vx_workload(
+        batch_size=batch_size, num_nodes=num_nodes, train_size=train_size,
+        compute_dtype=compute_dtype, use_tgraph=use_tgraph,
+        use_buckets=use_buckets)
+    key = jax.random.key(1)
+    step_rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state, key,
+                                             make_indices(step_rng))
+    jax.block_until_ready(loss)
+    log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
+    flops_per_step = compiled_flops(train_step, params, opt_state, key,
+                                    make_indices(step_rng))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, key,
+                                             make_indices(step_rng))
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    sps = batch_size * iters / elapsed
+    log(f"{iters} vx steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
+        f"loss={float(loss):.4f}")
+    out = {"metric": "train_throughput_vx", "value": round(sps, 2),
+           "unit": "samples/sec/chip", "mode": "vx"}
+    kind, peak = device_peak_flops()
+    if flops_per_step:
+        tflops_sec = sps * (flops_per_step / batch_size) / 1e12
+        out["gflops_per_sample"] = round(flops_per_step / batch_size / 1e9, 2)
+        out["tflops_per_sec"] = round(tflops_sec, 2)
+        if peak:
+            out["mfu"] = round(tflops_sec * 1e12 / peak, 4)
+            log(f"device={kind} achieved={tflops_sec:.1f} TF/s "
+                f"mfu={out['mfu']:.1%}")
+    print(json.dumps(out))
+
+
 def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 64))
     num_nodes = int(os.environ.get("BENCH_NODES", 8192))
@@ -169,7 +364,15 @@ def main():
 
     log(f"devices: {jax.devices()}")
     log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
-    mode = os.environ.get("BENCH_MODE", "scan")  # scan | step
+    mode = os.environ.get("BENCH_MODE", "scan")  # scan | step | vx
+    if mode == "vx":
+        run_vx_bench(batch_size=int(os.environ.get("BENCH_BATCH", 16)),
+                     num_nodes=num_nodes,
+                     train_size=int(os.environ.get("BENCH_TRAIN_SIZE", 64)),
+                     warmup=warmup, iters=iters,
+                     compute_dtype=compute_dtype,
+                     use_tgraph=use_tgraph, use_buckets=use_buckets)
+        return
     (train_step, epoch_fn, make_epoch_indices, params, opt_state, pndata,
      target) = build_workload(
         batch_size=batch_size, num_nodes=num_nodes,
@@ -178,6 +381,7 @@ def main():
         with_scan=(mode == "scan"))
 
     key = jax.random.key(1)
+    flops_per_step = None
     if mode == "scan":
         # One dispatch per epoch (the trainers' device-resident path); time
         # full epochs after one warmup epoch compiles the scan.
@@ -189,6 +393,9 @@ def main():
         jax.block_until_ready(losses)
         log(f"warmup (1 epoch of {k} steps incl. compile): "
             f"{time.perf_counter() - t0:.2f}s")
+        ep_flops = compiled_flops(epoch_fn, params, opt_state, key,
+                                  make_epoch_indices(host_rng, k))
+        flops_per_step = ep_flops / k if ep_flops else None
 
         epochs = max(1, iters // k)
         t0 = time.perf_counter()
@@ -208,6 +415,8 @@ def main():
                                                  pndata, target)
         jax.block_until_ready(loss)
         log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
+        flops_per_step = compiled_flops(train_step, params, opt_state, key,
+                                        pndata, target)
 
         t0 = time.perf_counter()
         for i in range(iters):
@@ -228,7 +437,7 @@ def main():
         if base.get("value"):
             vs_baseline = sps / float(base["value"])
 
-    print(json.dumps({
+    out = {
         "metric": "train_throughput",
         "value": round(sps, 2),
         "unit": "samples/sec/chip",
@@ -237,7 +446,21 @@ def main():
         # implementation; 'mode' records which training path this run timed
         # (scan = whole-epoch lax.scan, step = one dispatch per step).
         "mode": mode,
-    }))
+    }
+    # MFU accounting: FLOPs from XLA's compiled cost model (fwd+bwd+adamw,
+    # everything in the dispatched program) against the chip's published
+    # bf16 dense peak. Gather/scatter-heavy models run far below dense
+    # peak by construction — report it honestly rather than flattering it.
+    kind, peak = device_peak_flops()
+    if flops_per_step:
+        tflops_sec = sps * (flops_per_step / batch_size) / 1e12
+        out["gflops_per_sample"] = round(flops_per_step / batch_size / 1e9, 2)
+        out["tflops_per_sec"] = round(tflops_sec, 2)
+        if peak:
+            out["mfu"] = round(tflops_sec * 1e12 / peak, 4)
+            log(f"device={kind} peak={peak / 1e12:.0f} TF "
+                f"achieved={tflops_sec:.1f} TF/s mfu={out['mfu']:.1%}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -300,6 +300,11 @@ class DatasetConfig:
     # batch host->device, src/trainer/static_trainer.py:167-170). Falls back
     # to host batches above loader.DEVICE_DATA_BYTE_LIMIT.
     device_data: bool = True
+    # On-disk npz cache for precomputed vx graphs (reference
+    # CachedGraphBuilder, src/datasets/graph_builder.py:177-285). None
+    # disables caching; the key covers dataset name, coord scaling, search
+    # params, and split sizes, so stale entries are never reused.
+    graph_cache_dir: Optional[str] = None
     num_workers: int = 0                # kept for config-compat; loading is in-process
     shuffle: bool = True
     use_metadata_stats: bool = False

@@ -179,6 +179,7 @@ class GraphBuilder:
                                 with_transpose=with_transpose)
         num_scales = len(scales)
         if os.path.exists(path):
+            print(f"Graph cache hit: {path}")
             with np.load(path, allow_pickle=False) as z:
                 out = {}
                 for split in ["train", "val", "test"]:

@@ -108,11 +108,20 @@ class SequentialTrainer(BaseTrainer):
                        if splits[name]["x"].ndim == 4 else splits[name]["x"]}
                 for name in ["train", "val", "test"]
             }
-            self.vx_graphs = builder.build_all_vx_graphs(
-                graph_splits, latent, magno.radius, magno.scales,
-                build_train=self.setup_config.train,
-                model_transform=self.data_processor.coord_scaler,
-                with_transpose=magno.use_transpose_backward)
+            if dataset_config.graph_cache_dir:
+                self.vx_graphs = builder.build_all_vx_graphs_cached(
+                    dataset_config.graph_cache_dir,
+                    f"{dataset_config.name}-{dataset_config.coord_scaling}-seq",
+                    graph_splits, latent, magno.radius, magno.scales,
+                    build_train=self.setup_config.train,
+                    model_transform=self.data_processor.coord_scaler,
+                    with_transpose=magno.use_transpose_backward)
+            else:
+                self.vx_graphs = builder.build_all_vx_graphs(
+                    graph_splits, latent, magno.radius, magno.scales,
+                    build_train=self.setup_config.train,
+                    model_transform=self.data_processor.coord_scaler,
+                    with_transpose=magno.use_transpose_backward)
         else:
             self.vx_graphs = None
             coord = self.data_processor.coord_scaler(splits["train"]["x"])
@@ -267,16 +276,19 @@ class SequentialTrainer(BaseTrainer):
             return 0.0
         if self._eval_fn is None:
             self._build_steps()
-        total, count = 0.0, 0
+        # Device-side accumulation, ONE host sync after the loop (see
+        # static_trainer.validate).
+        losses = []
         for batch in loader:
             batch = self.place_batch_once(batch)
             coord, enc, dec, node_mask, enc_t, dec_t = self._graph_args(batch)
-            total += float(self._eval_fn(self.params, batch["input"],
-                                         batch["target"], batch["sample_mask"],
-                                         coord, enc, dec, node_mask,
-                                         enc_t, dec_t))
-            count += 1
-        return total / max(count, 1)
+            losses.append(self._eval_fn(self.params, batch["input"],
+                                        batch["target"], batch["sample_mask"],
+                                        coord, enc, dec, node_mask,
+                                        enc_t, dec_t))
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     # ------------------------------------------------------------------
     def _rollout_fn(self, time_indices):

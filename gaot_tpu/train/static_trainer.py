@@ -82,11 +82,19 @@ class StaticTrainer(BaseTrainer):
         builder = GraphBuilder.from_magno_config(magno)
         cfg = dataset_config
         if is_vx:
-            self.vx_graphs = builder.build_all_vx_graphs(
-                splits, latent, magno.radius, magno.scales,
-                build_train=self.setup_config.train,
-                model_transform=self.data_processor.coord_scaler,
-                with_transpose=magno.use_transpose_backward)
+            if cfg.graph_cache_dir:
+                self.vx_graphs = builder.build_all_vx_graphs_cached(
+                    cfg.graph_cache_dir, f"{cfg.name}-{cfg.coord_scaling}",
+                    splits, latent, magno.radius, magno.scales,
+                    build_train=self.setup_config.train,
+                    model_transform=self.data_processor.coord_scaler,
+                    with_transpose=magno.use_transpose_backward)
+            else:
+                self.vx_graphs = builder.build_all_vx_graphs(
+                    splits, latent, magno.radius, magno.scales,
+                    build_train=self.setup_config.train,
+                    model_transform=self.data_processor.coord_scaler,
+                    with_transpose=magno.use_transpose_backward)
             loaders = {}
             for name in ["train", "val", "test"]:
                 g = self.vx_graphs[name]
@@ -244,13 +252,17 @@ class StaticTrainer(BaseTrainer):
             return 0.0
         if self._eval_fn is None:
             self._build_steps()
-        total, count = 0.0, 0
+        # Accumulate per-batch losses ON DEVICE and sync once at the end:
+        # dispatch is async, so a float() per batch would add one host
+        # round-trip per batch (several ms each on tunneled devices).
+        losses = []
         for batch in loader:
             batch = self.place_batch_once(batch)
             _, loss = self._eval_fn(self.params, *self._step_args(batch))
-            total += float(loss)
-            count += 1
-        return total / max(count, 1)
+            losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     # ------------------------------------------------------------------
     def test(self):

@@ -1,10 +1,13 @@
 """Result visualization.
 
 Equivalents of the reference plotting module (src/utils/plotting.py:48-577):
-- :func:`plot_estimates` — per-variable scatter panels of input / ground
-  truth / prediction / absolute error over the point cloud,
-- :func:`create_sequential_animation` — GIF of ground truth vs prediction vs
-  error over rollout steps,
+- :func:`plot_estimates` — per-variable rows of input / ground truth /
+  prediction / |error| scatter panels with per-panel colorbars, shared
+  GT/prediction color limits, per-variable symmetric scales, light/dark
+  colormap modes, and domain-based axis limits,
+- :func:`create_sequential_animation` — rollout GIF animating EVERY
+  variable (one row per channel, reference plotting.py:310-577), with an
+  optional static input column and color limits fixed across the sequence,
 - :func:`plot_losses` — train/val loss curves (reference
   src/core/base_trainer.py:227-272).
 
@@ -12,7 +15,7 @@ Matplotlib with the Agg backend; all inputs are NumPy.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import matplotlib
 matplotlib.use("Agg")
@@ -20,62 +23,125 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def _scatter(ax, coords, values, symmetric=False, title="", s=2.0):
-    if symmetric:
-        vmax = np.abs(values).max() or 1.0
-        sc = ax.scatter(coords[:, 0], coords[:, 1], c=values, cmap="RdBu_r",
-                        vmin=-vmax, vmax=vmax, s=s)
-    else:
-        sc = ax.scatter(coords[:, 0], coords[:, 1], c=values, cmap="viridis", s=s)
-    ax.set_title(title, fontsize=8)
+def _cmaps(colorbar_type: str):
+    """(symmetric, asymmetric, error) colormaps for the two colorbar modes
+    (reference plotting.py:361-367: 'light' -> jet, 'dark' -> blue/white/red
+    family; we keep perceptually-uniform defaults for 'dark')."""
+    if colorbar_type == "light":
+        return "jet", "jet", "magma"
+    return "RdBu_r", "viridis", "magma"
+
+
+def _point_size(coords: np.ndarray, base: float = 4.0) -> float:
+    """Scale marker size with point density (reference plotting.py:352-354)."""
+    return base * 128.0 / max(np.sqrt(coords.shape[0]), 1.0)
+
+
+def _panel(ax, coords, values, cmap, vmin, vmax, title, size, domain=None):
+    sc = ax.scatter(coords[:, 0], coords[:, 1], c=values, cmap=cmap,
+                    vmin=vmin, vmax=vmax, s=size)
+    if title:
+        ax.set_title(title, fontsize=8)
+    if domain is not None:
+        ax.set_xlim(domain[0][0], domain[1][0])
+        ax.set_ylim(domain[0][1], domain[1][1])
     ax.set_aspect("equal")
     ax.set_xticks([])
     ax.set_yticks([])
-    plt.colorbar(sc, ax=ax, fraction=0.046)
+    return sc
+
+
+def _sym_limits(*arrays):
+    vmax = max(float(np.abs(a).max()) for a in arrays) or 1.0
+    return -vmax, vmax
+
+
+def _asym_limits(*arrays):
+    vmin = min(float(a.min()) for a in arrays)
+    vmax = max(float(a.max()) for a in arrays)
+    if vmin == vmax:
+        vmin, vmax = vmin - 1.0, vmax + 1.0
+    return vmin, vmax
+
+
+def _per_var(symmetric, n):
+    if symmetric is None:
+        return [False] * n
+    if isinstance(symmetric, (bool, np.bool_)):
+        return [bool(symmetric)] * n
+    out = list(symmetric)
+    return (out + [False] * n)[:n]
 
 
 def plot_estimates(u_inp: Optional[np.ndarray], u_gtr: np.ndarray,
                    u_prd: np.ndarray, x_inp: np.ndarray,
                    x_out: Optional[np.ndarray] = None,
                    names: Optional[Sequence[str]] = None,
-                   symmetric: Optional[Sequence[bool]] = None,
-                   domain=None):
-    """Panels: [input vars] + per output variable (gt, pred, |error|)."""
+                   symmetric: Union[None, bool, Sequence[bool]] = None,
+                   domain=None, colorbar_type: str = "light",
+                   show_error: bool = True):
+    """One row per variable: Input | Ground truth | Prediction | [|Error|].
+
+    Ground truth and prediction share color limits so they are visually
+    comparable; the input column shows input variable i on row i when it
+    exists (reference plot_estimates, src/utils/plotting.py:48-307).
+    """
     x_out = x_inp if x_out is None else x_out
-    u_gtr = np.atleast_2d(u_gtr)
-    u_prd = np.atleast_2d(u_prd)
+    u_gtr = np.asarray(u_gtr)
+    u_prd = np.asarray(u_prd)
     if u_gtr.ndim == 1:
         u_gtr = u_gtr[:, None]
+    if u_prd.ndim == 1:
+        u_prd = u_prd[:, None]
     n_out = u_gtr.shape[-1]
     n_inp = u_inp.shape[-1] if u_inp is not None else 0
-    symmetric = list(symmetric) if symmetric is not None else [False] * max(n_out, 1)
+    nrows = max(n_out, n_inp)
+    sym = _per_var(symmetric, nrows)
+    cmap_sym, cmap_asym, cmap_err = _cmaps(colorbar_type)
+    ncols = (1 if n_inp else 0) + 2 + (1 if show_error else 0)
+    s_in = _point_size(x_inp)
+    s_out = _point_size(x_out)
 
-    ncols = max(n_inp, 3)
-    nrows = (1 if n_inp else 0) + n_out
-    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2.6 * nrows),
+    fig, axes = plt.subplots(nrows, ncols, figsize=(2.9 * ncols, 2.5 * nrows),
                              squeeze=False)
     for ax in axes.ravel():
         ax.axis("off")
 
-    row = 0
-    if n_inp:
-        for j in range(n_inp):
-            ax = axes[0, j]
-            ax.axis("on")
-            label = names[j] if names and j < len(names) else f"input {j}"
-            _scatter(ax, x_inp, u_inp[:, j], title=f"in: {label}")
-        row = 1
-    for v in range(n_out):
-        sym = symmetric[v] if v < len(symmetric) else False
-        for col, (vals, title) in enumerate([
-            (u_gtr[:, v], f"gt[{v}]"),
-            (u_prd[:, v], f"pred[{v}]"),
-            (np.abs(u_gtr[:, v] - u_prd[:, v]), f"|err|[{v}]"),
-        ]):
-            ax = axes[row + v, col]
-            ax.axis("on")
-            _scatter(ax, x_out, vals, symmetric=sym and col < 2, title=title)
-    fig.tight_layout()
+    for v in range(nrows):
+        col = 0
+        if n_inp:
+            ax = axes[v, 0]
+            if v < n_inp:
+                ax.axis("on")
+                label = (names[v] if names and v < len(names)
+                         else f"input {v}")
+                sc = _panel(ax, x_inp, u_inp[:, v], cmap_asym,
+                            *(_asym_limits(u_inp[:, v])),
+                            f"in: {label}", s_in, domain)
+                plt.colorbar(sc, ax=ax, fraction=0.046,
+                             orientation="horizontal", pad=0.04)
+            col = 1
+        if v >= n_out:
+            continue
+        cmap = cmap_sym if sym[v] else cmap_asym
+        limits = (_sym_limits(u_gtr[:, v], u_prd[:, v]) if sym[v]
+                  else _asym_limits(u_gtr[:, v], u_prd[:, v]))
+        sc = _panel(axes[v, col], x_out, u_gtr[:, v], cmap, *limits,
+                    f"gt[{v}]", s_out, domain)
+        axes[v, col].axis("on")
+        _panel(axes[v, col + 1], x_out, u_prd[:, v], cmap, *limits,
+               f"pred[{v}]", s_out, domain)
+        axes[v, col + 1].axis("on")
+        plt.colorbar(sc, ax=[axes[v, col], axes[v, col + 1]],
+                     fraction=0.03, orientation="horizontal", pad=0.04)
+        if show_error:
+            err = np.abs(u_gtr[:, v] - u_prd[:, v])
+            axe = axes[v, col + 2]
+            axe.axis("on")
+            sc = _panel(axe, x_out, err, cmap_err, 0.0,
+                        float(err.max()) or 1.0, f"|err|[{v}]", s_out, domain)
+            plt.colorbar(sc, ax=axe, fraction=0.046,
+                         orientation="horizontal", pad=0.04)
     return fig
 
 
@@ -117,45 +183,75 @@ def create_sequential_animation(gt_sequence: np.ndarray, pred_sequence: np.ndarr
                                 input_data: Optional[np.ndarray] = None,
                                 time_values: Optional[Sequence] = None,
                                 interval: int = 800,
-                                symmetric: Optional[Sequence[bool]] = None,
+                                symmetric: Union[None, bool, Sequence[bool]] = None,
                                 domain=None, names: Optional[Sequence[str]] = None,
                                 colorbar_type: str = "light",
                                 show_error: bool = True):
-    """Rollout GIF: per frame, gt / pred / error panels for variable 0."""
+    """Rollout GIF over EVERY channel: one row per variable, columns
+    [input] | ground truth | prediction | [|error|], color limits fixed
+    across the whole sequence (reference plotting.py:310-577).
+
+    gt_sequence/pred_sequence: [n_steps, n_points, n_channels];
+    input_data: optional static [n_points, n_in] first column.
+    """
     from matplotlib.animation import FuncAnimation, PillowWriter
 
-    steps = gt_sequence.shape[0]
-    ncols = 3 if show_error else 2
-    fig, axes = plt.subplots(1, ncols, figsize=(3.2 * ncols, 3))
-    gt0 = gt_sequence[..., 0]
-    pr0 = pred_sequence[..., 0]
-    vmin, vmax = float(gt0.min()), float(gt0.max())
-    if vmin == vmax:
-        vmin, vmax = vmin - 1, vmax + 1
-    err_max = float(np.abs(gt0 - pr0).max()) or 1.0
+    if coords.shape[1] != 2:
+        print("Animation currently only supports 2D coordinates")
+        return
+    gt = np.asarray(gt_sequence)
+    pr = np.asarray(pred_sequence)
+    if gt.ndim == 2:
+        gt, pr = gt[..., None], pr[..., None]
+    steps, _, n_ch = gt.shape
+    sym = _per_var(symmetric, n_ch)
+    cmap_sym, cmap_asym, cmap_err = _cmaps(colorbar_type)
+    has_inp = input_data is not None
+    ncols = (1 if has_inp else 0) + 2 + (1 if show_error else 0)
+    size = _point_size(coords, base=2.5)
 
-    scs = []
-    titles = ["ground truth", "prediction"] + (["|error|"] if show_error else [])
-    for ax, t in zip(axes, titles):
-        sc = ax.scatter(coords[:, 0], coords[:, 1], c=gt0[0], cmap="viridis",
-                        vmin=vmin, vmax=vmax, s=2)
-        ax.set_title(t)
-        ax.set_aspect("equal")
-        ax.set_xticks([])
-        ax.set_yticks([])
-        scs.append(sc)
-    if show_error:
-        scs[2].set_cmap("magma")
-        scs[2].set_clim(0, err_max)
+    fig, axes = plt.subplots(n_ch, ncols,
+                             figsize=(2.9 * ncols, 2.5 * n_ch),
+                             squeeze=False)
+    gt_scs, pr_scs, err_scs = [], [], []
+    for v in range(n_ch):
+        col = 0
+        if has_inp:
+            j = min(v, input_data.shape[-1] - 1)
+            sc = _panel(axes[v, 0], coords, input_data[:, j], cmap_asym,
+                        *_asym_limits(input_data[:, j]), "input" if v == 0 else "",
+                        size, domain)
+            plt.colorbar(sc, ax=axes[v, 0], fraction=0.046)
+            col = 1
+        cmap = cmap_sym if sym[v] else cmap_asym
+        limits = (_sym_limits(gt[..., v], pr[..., v]) if sym[v]
+                  else _asym_limits(gt[..., v], pr[..., v]))
+        label = names[v] if names and v < len(names) else f"var {v}"
+        sc_g = _panel(axes[v, col], coords, gt[0, :, v], cmap, *limits,
+                      f"gt: {label}", size, domain)
+        sc_p = _panel(axes[v, col + 1], coords, pr[0, :, v], cmap, *limits,
+                      f"pred: {label}", size, domain)
+        plt.colorbar(sc_p, ax=[axes[v, col], axes[v, col + 1]], fraction=0.03)
+        gt_scs.append(sc_g)
+        pr_scs.append(sc_p)
+        if show_error:
+            err_all = np.abs(gt[..., v] - pr[..., v])
+            sc_e = _panel(axes[v, col + 2], coords, err_all[0], cmap_err,
+                          0.0, float(err_all.max()) or 1.0,
+                          f"|err|: {label}", size, domain)
+            plt.colorbar(sc_e, ax=axes[v, col + 2], fraction=0.046)
+            err_scs.append(sc_e)
 
     def update(frame):
-        scs[0].set_array(gt0[frame])
-        scs[1].set_array(pr0[frame])
-        if show_error:
-            scs[2].set_array(np.abs(gt0[frame] - pr0[frame]))
-        label = time_values[frame] if time_values is not None and frame < len(time_values) else frame
+        for v in range(n_ch):
+            gt_scs[v].set_array(gt[frame, :, v])
+            pr_scs[v].set_array(pr[frame, :, v])
+            if show_error:
+                err_scs[v].set_array(np.abs(gt[frame, :, v] - pr[frame, :, v]))
+        label = (time_values[frame] if time_values is not None
+                 and frame < len(time_values) else frame)
         fig.suptitle(f"t = {label}")
-        return scs
+        return gt_scs + pr_scs + err_scs
 
     anim = FuncAnimation(fig, update, frames=steps, interval=interval, blit=False)
     anim.save(save_path, writer=PillowWriter(fps=max(1, 1000 // interval)))

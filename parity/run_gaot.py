@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Run the gaot_tpu trainer on a parity case and print final metrics as one
+JSON line; also saves the initial weights as a torch state dict so the
+reference run (run_reference.py --init) starts from IDENTICAL parameters.
+
+Usage: python parity/run_gaot.py --case static_fx --workdir /tmp/parity
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parity import cases  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--case", required=True, choices=sorted(cases.CASES))
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "auto"])
+    args = p.parse_args()
+
+    if args.platform != "auto":
+        os.environ["JAX_PLATFORMS"] = args.platform
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gaot_jax_cache")
+
+    data_dir = os.path.join(args.workdir, "data")
+    meta_kwargs = cases.ensure_dataset(args.case, data_dir)
+
+    from gaot_tpu.core.metadata import DATASET_METADATA, Metadata
+
+    mk = dict(meta_kwargs)
+    mk["domain_x"] = tuple(map(tuple, mk["domain_x"]))
+    if mk.get("domain_t") is not None:
+        mk["domain_t"] = tuple(mk["domain_t"])
+    DATASET_METADATA[cases.metaname(args.case)] = Metadata(**mk)
+
+    cfg = cases.build_config(args.case, data_dir, args.workdir, "gaot")
+    if args.epochs is not None:
+        cfg["optimizer"]["args"]["epoch"] = args.epochs
+    for sub in cfg["path"].values():
+        os.makedirs(os.path.dirname(sub), exist_ok=True)
+
+    from gaot_tpu.train import SequentialTrainer, StaticTrainer
+
+    trainer_cls = {"static": StaticTrainer,
+                   "sequential": SequentialTrainer}[cfg["setup"]["trainer_name"]]
+    t0 = time.perf_counter()
+    trainer = trainer_cls(cfg)
+    setup_time = time.perf_counter() - t0
+
+    # Save transplantable init weights for the reference run.
+    init_path = os.path.join(args.workdir, f"init_{args.case}.pt")
+    import torch
+
+    from gaot_tpu.utils.torch_interop import flax_to_torch_state_dict
+
+    torch.save({k: torch.tensor(v) for k, v in
+                flax_to_torch_state_dict(trainer.params).items()}, init_path)
+    print(f"saved init weights to {init_path}")
+
+    t0 = time.perf_counter()
+    trainer.fit(verbose=True)
+    fit_time = time.perf_counter() - t0
+
+    result = {
+        "side": "gaot_tpu", "case": args.case,
+        "epochs": cfg["optimizer"]["args"]["epoch"],
+        "setup_time_s": round(setup_time, 2),
+        "fit_time_s": round(fit_time, 2),
+        "metrics": {k: float(v) for k, v in trainer.datarow.items()
+                    if k.startswith("relative error") and v == v},
+    }
+    print("PARITY_RESULT " + json.dumps(result))
+    with open(os.path.join(args.workdir, f"gaot_{args.case}.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
