@@ -128,6 +128,7 @@ def _device_data_usable() -> bool:
 def _buffers_loader(buffers: Dict[str, np.ndarray], num_samples: int,
                     batch_size: int, shuffle: bool, seed: int,
                     device_data: bool) -> BatchLoader:
+    loader = None
     if device_data and _device_data_usable():
         total = sum(v.nbytes for v in buffers.values())
         if total <= DEVICE_DATA_BYTE_LIMIT:
@@ -140,15 +141,20 @@ def _buffers_loader(buffers: Dict[str, np.ndarray], num_samples: int,
                                      shuffle=shuffle, seed=seed)
                 loader.device_epoch_spec = (
                     dev, lambda bufs, idx: jax.tree.map(lambda a: a[idx], bufs))
-                return loader
             except Exception:
-                pass  # no device / OOM → host path
+                loader = None  # no device / OOM → host path
 
-    def get_batch(idx):
-        return {k: take_rows(v, idx) for k, v in buffers.items()}
+    if loader is None:
+        def get_batch(idx):
+            return {k: take_rows(v, idx) for k, v in buffers.items()}
 
-    return BatchLoader(num_samples, batch_size, get_batch,
-                       shuffle=shuffle, seed=seed)
+        loader = BatchLoader(num_samples, batch_size, get_batch,
+                             shuffle=shuffle, seed=seed)
+    # Kept for the multi-host whole-epoch scan: the trainer re-places these
+    # as global replicated arrays over its mesh (base_trainer._build_epoch_fn)
+    # when the loader itself could not commit device buffers.
+    loader.host_buffers = buffers
+    return loader
 
 
 def make_static_fx_loader(c: Optional[np.ndarray], u: np.ndarray,

@@ -64,6 +64,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_global(arr, mesh: Mesh, spec: P):
+    """Place a host (or committed) array as a GLOBAL array with the given
+    PartitionSpec over the mesh.
+
+    Single-process: plain device_put (handles committed→sharded re-layout).
+    Multi-process: every process must hold the same full host array;
+    each process materializes only its addressable shards
+    (jax.make_array_from_callback), so replicated split buffers work for
+    multi-host data parallelism without any cross-host transfer.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, batch_size: int) -> Dict[str, Any]:
     """device_put a host batch dict: arrays with a leading batch axis are
     sharded over 'data', the rest replicated.

@@ -186,17 +186,45 @@ class BaseTrainer(ABC):
     # step — instead of one dispatch per step. Removes per-step host
     # dispatch latency entirely (the dominant cost for small models, and
     # several ms/step on tunneled devices).
+    def _mesh_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod(tuple(self.mesh.shape.values())))
+
     def _build_epoch_fn(self):
+        """Whole-epoch scan program. Works on any mesh size:
+
+        - single device: loader's device-resident buffers as-is;
+        - single-process multi-device: buffers re-placed REPLICATED over the
+          mesh (one broadcast), per-step batch indices sharded over 'data' —
+          each device gathers its own batch shard locally and GSPMD inserts
+          the gradient all-reduce, so DP runs keep one dispatch per epoch;
+        - multi-host: every process holds the full split (the data pipeline
+          loads the whole file per host anyway); buffers become global
+          replicated arrays via place_global, same sharded-index scan.
+        """
+        if getattr(self, "_step_update", None) is None:
+            return None
+        from ..parallel.mesh import place_global, replicated
+        from jax.sharding import PartitionSpec as P
+
         spec = getattr(self.train_loader, "device_epoch_spec", None)
-        if spec is None or getattr(self, "_step_update", None) is None:
-            return None
-        if self.mesh is not None and np.prod(
-                tuple(self.mesh.shape.values())) > 1:
-            # Device-resident buffers are committed to one device; the scan
-            # path is single-device (multi-device runs keep per-step jits,
-            # which reshard batches over the mesh).
-            return None
-        dev, batch_fn = spec
+        multi = self._mesh_size() > 1
+        if spec is not None:
+            dev, batch_fn = spec
+            if multi:
+                dev = jax.device_put(dev, replicated(self.mesh))
+        else:
+            bufs = getattr(self.train_loader, "host_buffers", None)
+            if not multi or bufs is None:
+                return None
+            from ..data.loader import DEVICE_DATA_BYTE_LIMIT
+
+            if sum(v.nbytes for v in bufs.values()) > DEVICE_DATA_BYTE_LIMIT:
+                return None
+            dev = {k: place_global(v, self.mesh, P())
+                   for k, v in bufs.items()}
+            batch_fn = lambda bufs, i: jax.tree.map(lambda a: a[i], bufs)
         step_update = self._step_update
 
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
@@ -234,9 +262,20 @@ class BaseTrainer(ABC):
         if not self._scan_available():
             return None
         idx, mask = self.train_loader.epoch_index_matrix()
+        if self._mesh_size() > 1:
+            # Per-step batch axis sharded over 'data': each device gathers
+            # and computes its slice of every scanned step. The epoch index
+            # matrix is identical on all hosts (loader rng is seeded from
+            # setup.seed, not the per-process numpy seed).
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.mesh import place_global
+
+            idx = place_global(idx, self.mesh, P(None, "data"))
+            mask = place_global(mask, self.mesh, P(None, "data"))
+        else:
+            idx, mask = jnp.asarray(idx), jnp.asarray(mask)
         self.params, self.opt_state, losses = self._epoch_fn(
-            self.params, self.opt_state, self._next_rng(),
-            jnp.asarray(idx), jnp.asarray(mask))
+            self.params, self.opt_state, self._next_rng(), idx, mask)
         return losses
 
     # ------------------------------------------------------------------

@@ -109,6 +109,52 @@ def child(process_id: int, num_processes: int, port: int) -> None:
         losses.append(float(loss))
     print(f"proc {process_id}: losses {['%.6f' % l for l in losses]}", flush=True)
     assert losses[0] > losses[-1], "loss did not decrease"
+
+    # --- trainer-level multi-host whole-epoch scan -----------------------
+    # device_data buffers cannot be committed per-process (loader falls back
+    # to host batches), but the trainer re-places them as GLOBAL replicated
+    # arrays and runs the epoch as one sharded-index scan
+    # (base_trainer._build_epoch_fn multi-host branch).
+    import tempfile
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synthetic import make_static_fx_dataset
+
+    from gaot_tpu.train import StaticTrainer
+
+    tmp = tempfile.mkdtemp(prefix=f"mh_scan_{process_id}_")
+    # Seeded generator → byte-identical data on every process.
+    make_static_fx_dataset(os.path.join(tmp, "mh_toy.npz"), seed=3)
+    config = {
+        "setup": {"seed": 0, "trainer_name": "static", "train": True,
+                  "data_parallel": -1, "epoch_scan": "always"},
+        "model": {
+            "latent_tokens_size": [latent_hw, latent_hw],
+            "args": {"magno": {"coord_dim": 2, "radius": 0.3,
+                               "hidden_size": 16, "mlp_layers": 2,
+                               "lifting_channels": 8},
+                     "transformer": {"patch_size": 2, "hidden_size": 32,
+                                     "num_layers": 2,
+                                     "attn_config": {"num_heads": 4,
+                                                     "num_kv_heads": 4}}},
+        },
+        "dataset": {"name": "mh_toy", "metaname": "elliptic_pdes/Poisson-Gauss",
+                    "base_path": tmp, "train_size": 16, "val_size": 4,
+                    "test_size": 4, "batch_size": 8, "shuffle": True,
+                    "device_data": True},
+        "optimizer": {"name": "adamw",
+                      "args": {"lr": 1e-3, "epoch": 1, "eval_every_eps": 1,
+                               "scheduler": "cos"}},
+        "path": {k: os.path.join(tmp, v) for k, v in
+                 [("ckpt_path", "ckpt/m.ckpt"), ("loss_path", "loss/l.png"),
+                  ("result_path", "res/r.png"), ("database_path", "db/d.csv")]},
+    }
+    trainer = StaticTrainer(config)
+    assert trainer._scan_available(), "multi-host scan path must be active"
+    scan_losses = np.asarray(trainer.train_epoch_scan())
+    assert np.isfinite(scan_losses).all()
+    print(f"proc {process_id}: mh-scan losses "
+          f"{['%.6f' % l for l in scan_losses]}", flush=True)
     jax.distributed.shutdown()
 
 
@@ -143,9 +189,15 @@ def parent() -> int:
         for o in outs:
             print(o[-3000:])
         return 1
-    # all processes must see identical replicated losses
-    vals = {l.split(": ", 1)[1] for l in loss_lines}
-    assert len(loss_lines) == NPROC and len(vals) == 1, loss_lines
+    # All processes must see identical replicated losses, for BOTH the raw
+    # step loop and the trainer-level multi-host scan: group the lines by
+    # content after the "proc N: " prefix — every distinct line must appear
+    # once per process.
+    from collections import Counter
+
+    groups = Counter(l.split(": ", 1)[1] for l in loss_lines)
+    assert len(loss_lines) == 2 * NPROC and all(
+        c == NPROC for c in groups.values()), loss_lines
     print("multihost smoke OK")
     return 0
 

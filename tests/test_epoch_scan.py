@@ -96,3 +96,61 @@ def test_sequential_scan_matches_per_step(tmp_path):
     t_step = SequentialTrainer(cfg("seq_step", False))
     losses_step, _ = _epoch_losses(t_step)
     np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-5, atol=1e-7)
+
+
+def test_static_fx_scan_multidevice(tmp_path):
+    """The whole-epoch scan must stay active on a multi-device mesh
+    (data-parallel runs keep one-dispatch-per-epoch): replicated device
+    buffers, per-step batch indices sharded over 'data', and the same
+    training trajectory as the single-device scan (identical batch order via
+    the shared loader rng; global loss reduction under GSPMD)."""
+    import jax
+
+    from gaot_tpu.train import StaticTrainer
+
+    def cfg(name, dp):
+        return static_toy_config(
+            tmp_path, name,
+            setup={"data_parallel": dp, "epoch_scan": "always"},
+            dataset={"train_size": 16, "val_size": 4, "test_size": 4,
+                     "batch_size": 8, "shuffle": True, "device_data": True})
+
+    t_multi = StaticTrainer(cfg("scan_dp", -1))
+    assert np.prod(tuple(t_multi.mesh.shape.values())) == len(jax.devices())
+    losses_multi, used_scan = _epoch_losses(t_multi)
+    assert used_scan, "scan path must be active on the multi-device mesh"
+
+    t_single = StaticTrainer(cfg("scan_dp1", 1))
+    losses_single, used_scan1 = _epoch_losses(t_single)
+    assert used_scan1
+    np.testing.assert_allclose(losses_multi, losses_single,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sequential_scan_multidevice(tmp_path):
+    """Sequential trainer's scan path on an 8-device mesh: the loader's
+    device-resident time-pair buffers are re-placed replicated and the
+    per-step pair indices are sharded over 'data'."""
+    from gaot_tpu.train import SequentialTrainer
+
+    make_sequential_fx_dataset(str(tmp_path / "seq_dp.npz"))
+    config = {
+        "setup": {"seed": 0, "trainer_name": "sequential", "train": True,
+                  "data_parallel": -1, "epoch_scan": "always"},
+        "model": TINY_MODEL,
+        "dataset": {
+            "name": "seq_dp",
+            "metaname": "incompressible_fluids/NS-Gauss",
+            "base_path": str(tmp_path),
+            "train_size": 4, "val_size": 2, "test_size": 2,
+            "batch_size": 8, "shuffle": True, "device_data": True,
+            "max_time_diff": 6, "time_step": 2,
+            "stepper_mode": "time_der", "predict_mode": "autoregressive",
+        },
+        "optimizer": TINY_OPT,
+        "path": _paths(tmp_path, "seq_dp"),
+    }
+    trainer = SequentialTrainer(config)
+    losses, used_scan = _epoch_losses(trainer, n_epochs=1)
+    assert used_scan
+    assert np.isfinite(losses).all()
