@@ -163,7 +163,6 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
     from gaot_tpu.core.config import ModelConfig, OptimizerConfig, merge_config
     from gaot_tpu.data.graph_builder import GraphBuilder
     from gaot_tpu.models import GAOT
-    from gaot_tpu.ops.padding import PaddedGraph, TransposeGraph
     from gaot_tpu.train.schedules import make_optimizer
     from gaot_tpu.train.static_trainer import masked_mse
 
@@ -186,45 +185,45 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
     builder = GraphBuilder.from_magno_config(model_cfg.args.magno)
     t0 = time.perf_counter()
     split = builder.build_vx_split(coords, lat, 0.033, [1.0])
+    k_enc, k_dec = split.encoder[0].k, split.decoder[0].k
+    if use_buckets:
+        from gaot_tpu.data.graph_builder import bucketize_vx_splits
+
+        bucketize_vx_splits([split], lat.shape[0], 1, use_tgraph)
     if use_tgraph:
         from gaot_tpu.data.graph_builder import attach_transpose_graphs
 
         attach_transpose_graphs([split], lat.shape[0], 1)
+
+    def fmt(g):
+        from gaot_tpu.ops.padding import BatchedBucketedGraph
+
+        if isinstance(g, BatchedBucketedGraph):
+            return ("buckets " + ",".join(f"{r}x{k}" for r, k in
+                                          zip(g.bucket_rows, g.bucket_ks)))
+        return f"dense K={g.k}"
+
     log(f"vx graph build ({train_size} samples x {num_nodes} nodes): "
-        f"{time.perf_counter() - t0:.2f}s enc K={split.encoder[0].k} "
-        f"dec K={split.decoder[0].k}")
+        f"{time.perf_counter() - t0:.2f}s raw enc K={k_enc} dec K={k_dec}; "
+        f"enc {fmt(split.encoder[0])}; dec {fmt(split.decoder[0])}")
 
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[compute_dtype]
     model = GAOT(input_size=1, output_size=1, config=model_cfg, dtype=dtype)
     latent_j = jnp.asarray(lat)
 
-    dev = {
-        "x": jnp.asarray(split.coords),
-        "node_mask": jnp.asarray(split.node_mask),
-        "enc_idx": jnp.asarray(split.encoder[0].indices),
-        "enc_mask": jnp.asarray(split.encoder[0].mask),
-        "dec_idx": jnp.asarray(split.decoder[0].indices),
-        "dec_mask": jnp.asarray(split.decoder[0].mask),
-        "c": jnp.asarray(rng.normal(
-            size=(train_size, split.coords.shape[1], 1)).astype(np.float32)),
-        "u": jnp.asarray(rng.normal(
-            size=(train_size, split.coords.shape[1], 1)).astype(np.float32)),
-    }
-    if use_tgraph:
-        for pfx, tg in (("enc", split.encoder_t[0]), ("dec", split.decoder_t[0])):
-            dev[f"{pfx}_tpos"] = jnp.asarray(tg.edge_pos)
-            dev[f"{pfx}_tq"] = jnp.asarray(tg.query)
-            dev[f"{pfx}_tmask"] = jnp.asarray(tg.mask)
+    from gaot_tpu.data.graph_builder import vx_batch_graphs, vx_graph_buffers
+
+    dev = jax.device_put({
+        **vx_graph_buffers(split),
+        "c": rng.normal(
+            size=(train_size, split.coords.shape[1], 1)).astype(np.float32),
+        "u": rng.normal(
+            size=(train_size, split.coords.shape[1], 1)).astype(np.float32),
+    })
 
     def batch_args(i):
-        enc = [PaddedGraph(dev["enc_idx"][i], dev["enc_mask"][i])]
-        dec = [PaddedGraph(dev["dec_idx"][i], dev["dec_mask"][i])]
-        enc_t = dec_t = None
-        if use_tgraph:
-            enc_t = [TransposeGraph(dev["enc_tpos"][i], dev["enc_tq"][i],
-                                    dev["enc_tmask"][i])]
-            dec_t = [TransposeGraph(dev["dec_tpos"][i], dev["dec_tq"][i],
-                                    dev["dec_tmask"][i])]
+        gathered = {k: v[i] for k, v in dev.items() if k not in ("c", "u")}
+        enc, dec, enc_t, dec_t = vx_batch_graphs(gathered, 1)
         return enc, dec, enc_t, dec_t
 
     i0 = jnp.arange(batch_size, dtype=jnp.int32)

@@ -169,9 +169,10 @@ class MAGNOConfig:
                                          # layout this is ~2.9x faster than
                                          # XLA's scatter-add backward on the
                                          # isolated primitive (v5e).
-    use_query_bucketing: bool = True     # fx mode: re-pack graphs into degree
-                                         # buckets (ops/padding.py::
-                                         # bucketize_graph) — radius-graph
+    use_query_bucketing: bool = True     # re-pack graphs into degree buckets
+                                         # (fx: ops/padding.py::bucketize_graph;
+                                         # vx: bucketize_graphs_stacked with a
+                                         # split-shared layout) — radius-graph
                                          # degrees are heavy-tailed, so
                                          # bucketing cuts gather traffic and
                                          # per-edge MLP FLOPs ~2-2.5x with

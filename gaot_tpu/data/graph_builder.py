@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops.neighbor_search import knn_search, radius_search
 from ..ops.padding import (
+    BatchedBucketedGraph,
     PaddedGraph,
     TransposeGraph,
     _round_up,
@@ -151,7 +152,8 @@ class GraphBuilder:
     # graph_builder.py:177-285) --------------------------------------------
     def _cache_path(self, cache_dir: str, dataset: str, radius: float,
                     scales: Sequence[float], num_samples: Dict[str, int],
-                    with_transpose: bool = False) -> str:
+                    with_transpose: bool = False,
+                    bucketing: bool = False) -> str:
         import hashlib
         import json
 
@@ -160,7 +162,7 @@ class GraphBuilder:
             "strategy": self.strategy, "knn_k": self.knn_k,
             "pad": self.pad_multiple, "cap": self.neighbor_cap,
             "node_pad": self.node_pad_multiple, "samples": num_samples,
-            "tgraphs": with_transpose,
+            "tgraphs": with_transpose, "bucketing": bucketing,
         }, sort_keys=True)
         digest = hashlib.sha1(key.encode()).hexdigest()[:16]
         return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
@@ -170,65 +172,41 @@ class GraphBuilder:
                                    radius: float, scales: Sequence[float],
                                    build_train: bool = True,
                                    model_transform=None,
-                                   with_transpose: bool = False):
-        """build_all_vx_graphs with an on-disk npz cache (incl. transpose
-        graphs when requested; with_transpose is part of the cache key)."""
+                                   with_transpose: bool = False,
+                                   bucketing: bool = False):
+        """build_all_vx_graphs with an on-disk npz cache. with_transpose and
+        bucketing are part of the cache key; the stored format is the flat
+        key vocabulary of vx_graph_buffers, split-prefixed."""
         counts = {s: int(len(data_splits[s]["x"])) for s in data_splits
                   if data_splits[s].get("x") is not None}
         path = self._cache_path(cache_dir, dataset, radius, scales, counts,
-                                with_transpose=with_transpose)
+                                with_transpose=with_transpose,
+                                bucketing=bucketing)
         num_scales = len(scales)
         if os.path.exists(path):
             print(f"Graph cache hit: {path}")
             with np.load(path, allow_pickle=False) as z:
                 out = {}
                 for split in ["train", "val", "test"]:
-                    if f"{split}_coords" not in z:
+                    keys = [k for k in z.files if k.startswith(f"{split}::")]
+                    if not keys:
                         out[split] = None
                         continue
-
-                    def tgs(prefix):
-                        if f"{split}_{prefix}_tpos_0" not in z:
-                            return None
-                        return [TransposeGraph(z[f"{split}_{prefix}_tpos_{i}"],
-                                               z[f"{split}_{prefix}_tq_{i}"],
-                                               z[f"{split}_{prefix}_tmask_{i}"])
-                                for i in range(num_scales)]
-
-                    out[split] = VxSplitGraphs(
-                        coords=z[f"{split}_coords"],
-                        node_mask=z[f"{split}_node_mask"],
-                        encoder=[PaddedGraph(z[f"{split}_enc_idx_{i}"],
-                                             z[f"{split}_enc_mask_{i}"])
-                                 for i in range(num_scales)],
-                        decoder=[PaddedGraph(z[f"{split}_dec_idx_{i}"],
-                                             z[f"{split}_dec_mask_{i}"])
-                                 for i in range(num_scales)],
-                        encoder_t=tgs("enc"),
-                        decoder_t=tgs("dec"),
-                    )
+                    bufs = {k.split("::", 1)[1]: z[k] for k in keys}
+                    out[split] = vx_split_from_buffers(bufs, num_scales)
                 return out
         out = self.build_all_vx_graphs(data_splits, latent_queries, radius,
                                        scales, build_train=build_train,
                                        model_transform=model_transform,
-                                       with_transpose=with_transpose)
+                                       with_transpose=with_transpose,
+                                       bucketing=bucketing)
         os.makedirs(cache_dir, exist_ok=True)
         payload = {}
         for split, g in out.items():
             if g is None:
                 continue
-            payload[f"{split}_coords"] = g.coords
-            payload[f"{split}_node_mask"] = g.node_mask
-            for i, (e, d) in enumerate(zip(g.encoder, g.decoder)):
-                payload[f"{split}_enc_idx_{i}"] = e.indices
-                payload[f"{split}_enc_mask_{i}"] = e.mask
-                payload[f"{split}_dec_idx_{i}"] = d.indices
-                payload[f"{split}_dec_mask_{i}"] = d.mask
-            for prefix, tgs in (("enc", g.encoder_t), ("dec", g.decoder_t)):
-                for i, t in enumerate(tgs or []):
-                    payload[f"{split}_{prefix}_tpos_{i}"] = t.edge_pos
-                    payload[f"{split}_{prefix}_tq_{i}"] = t.query
-                    payload[f"{split}_{prefix}_tmask_{i}"] = t.mask
+            for k, v in vx_graph_buffers(g).items():
+                payload[f"{split}::{k}"] = v
         np.savez(path, **payload)
         return out
 
@@ -248,9 +226,17 @@ class GraphBuilder:
                             radius: float, scales: Sequence[float],
                             build_train: bool = True,
                             model_transform=None,
-                            with_transpose: bool = False) -> Dict[str, Optional[VxSplitGraphs]]:
+                            with_transpose: bool = False,
+                            bucketing: bool = False) -> Dict[str, Optional[VxSplitGraphs]]:
         """Build vx graphs for every split with unified shapes across splits
-        (single XLA compilation for train/val/test)."""
+        (single XLA compilation for train/val/test).
+
+        ``bucketing``: re-pack each scale's stacked graphs into shared-layout
+        degree buckets (ops/padding.py::bucketize_graphs_stacked) — the
+        bucket K values and per-bucket row counts are chosen over ALL splits
+        jointly so train/val/test share one compiled program. Scales whose
+        padding win doesn't clear the economics threshold keep the dense
+        layout (per-scale decision, mirrored in the loaders)."""
         split_names = ["test"] + (["train", "val"] if build_train else [])
         max_n = max(
             (data_splits[s]["x"].shape[-2] for s in split_names if s in data_splits),
@@ -274,9 +260,13 @@ class GraphBuilder:
                 for g in built:
                     g.encoder[si] = repad(g.encoder[si], k_enc)
                     g.decoder[si] = repad(g.decoder[si], k_dec)
+            if bucketing:
+                bucketize_vx_splits(built, latent_queries.shape[0],
+                                    len(scales), with_transpose)
             if with_transpose:
                 # Per-sample transpose graphs (scatter-free backward), built
                 # from the K-unified stacks so flat edge positions are final.
+                # Bucketed scales already embed their transpose graphs.
                 attach_transpose_graphs(built, latent_queries.shape[0], len(scales))
         return out
 
@@ -332,28 +322,171 @@ def prepare_fx_device_graphs(enc: List[PaddedGraph], dec: List[PaddedGraph],
     return enc_g, dec_g, enc_t, dec_t
 
 
+def vx_graph_buffers(graphs: VxSplitGraphs) -> Dict[str, np.ndarray]:
+    """Serialize a VxSplitGraphs into a flat dict of per-sample arrays —
+    the single key vocabulary shared by the static vx loader, the sequential
+    batchers, the graph disk cache, and the trainers' batch reassembly
+    (vx_batch_graphs). Per scale s and side p ∈ {enc, dec}:
+
+    - dense:    {p}_idx_{s}, {p}_mask_{s}  (+ optional transpose
+                {p}_tpos_{s}/{p}_tq_{s}/{p}_tmask_{s})
+    - bucketed: {p}_b{j}_idx_{s}, {p}_b{j}_mask_{s} per bucket j,
+                {p}_perm_{s}, {p}_inv_{s}, {p}_rv_{s}, and the embedded
+                transpose under the same t-keys.
+    """
+    bufs = {"x": graphs.coords, "node_mask": graphs.node_mask}
+
+    def put(p, s, g, tg):
+        if isinstance(g, BatchedBucketedGraph):
+            for j, b in enumerate(g.buckets):
+                bufs[f"{p}_b{j}_idx_{s}"] = b.indices
+                bufs[f"{p}_b{j}_mask_{s}"] = b.mask
+            bufs[f"{p}_perm_{s}"] = g.perm
+            bufs[f"{p}_inv_{s}"] = g.inv_perm
+            bufs[f"{p}_rv_{s}"] = g.row_valid
+            tg = g.tgraph
+        else:
+            bufs[f"{p}_idx_{s}"] = g.indices
+            bufs[f"{p}_mask_{s}"] = g.mask
+        if tg is not None:
+            bufs[f"{p}_tpos_{s}"] = tg.edge_pos
+            bufs[f"{p}_tq_{s}"] = tg.query
+            bufs[f"{p}_tmask_{s}"] = tg.mask
+
+    for s, g in enumerate(graphs.encoder):
+        put("enc", s, g, graphs.encoder_t[s] if graphs.encoder_t else None)
+    for s, g in enumerate(graphs.decoder):
+        put("dec", s, g, graphs.decoder_t[s] if graphs.decoder_t else None)
+    return bufs
+
+
+def _graphs_from_keys(src: Dict, p: str, s: int):
+    """(graph, separate_tgraph) for side p, scale s from a key dict — arrays
+    may be NumPy (host) or traced jax values (inside the epoch scan)."""
+    def tg():
+        key = f"{p}_tpos_{s}"
+        if key not in src:
+            return None
+        return TransposeGraph(src[key], src[f"{p}_tq_{s}"],
+                              src[f"{p}_tmask_{s}"])
+
+    if f"{p}_b0_idx_{s}" in src:
+        buckets = []
+        j = 0
+        while f"{p}_b{j}_idx_{s}" in src:
+            buckets.append(PaddedGraph(src[f"{p}_b{j}_idx_{s}"],
+                                       src[f"{p}_b{j}_mask_{s}"]))
+            j += 1
+        return BatchedBucketedGraph(
+            buckets=tuple(buckets), tgraph=tg(), perm=src[f"{p}_perm_{s}"],
+            inv_perm=src[f"{p}_inv_{s}"], row_valid=src[f"{p}_rv_{s}"]), None
+    return PaddedGraph(src[f"{p}_idx_{s}"], src[f"{p}_mask_{s}"]), tg()
+
+
+def vx_batch_graphs(batch: Dict, num_scales: int):
+    """Reassemble per-scale vx graphs from a batch dict.
+
+    Returns (enc, dec, enc_t, dec_t); the t-lists collapse to None when no
+    scale carries a separate transpose graph (bucketed scales embed theirs)."""
+    enc, enc_t, dec, dec_t = [], [], [], []
+    for s in range(num_scales):
+        g, t = _graphs_from_keys(batch, "enc", s)
+        enc.append(g)
+        enc_t.append(t)
+        g, t = _graphs_from_keys(batch, "dec", s)
+        dec.append(g)
+        dec_t.append(t)
+    if any(t is None for t in enc_t):
+        enc_t = None
+    if any(t is None for t in dec_t):
+        dec_t = None
+    return enc, dec, enc_t, dec_t
+
+
+def vx_split_from_buffers(bufs: Dict[str, np.ndarray],
+                          num_scales: int) -> VxSplitGraphs:
+    """Inverse of vx_graph_buffers (used by the graph disk cache)."""
+    enc, dec, enc_t, dec_t = vx_batch_graphs(bufs, num_scales)
+    return VxSplitGraphs(coords=bufs["x"], node_mask=bufs["node_mask"],
+                         encoder=enc, decoder=dec,
+                         encoder_t=enc_t, decoder_t=dec_t)
+
+
+def bucketize_vx_splits(built: List[VxSplitGraphs], q_lat: int,
+                        num_scales: int, with_transpose: bool) -> None:
+    """Degree-bucket the stacked vx graphs of every split with ONE shared
+    layout: the splits' sample stacks are concatenated, bucketized jointly
+    (shared bucket Ks and per-bucket row counts), and sliced back, so
+    train/val/test batches compile to the same program. Scales where
+    bucketing doesn't pay keep their dense PaddedGraph (the loaders and
+    trainers dispatch per scale on the stored type)."""
+    from ..ops.padding import bucketize_graphs_stacked
+
+    n_pad = built[0].coords.shape[1]
+
+    def run(stacks: List[PaddedGraph], num_sources: int):
+        cat = PaddedGraph(
+            np.concatenate([g.indices for g in stacks], axis=0),
+            np.concatenate([g.mask for g in stacks], axis=0))
+        bb = bucketize_graphs_stacked(cat, num_sources,
+                                      with_transpose=with_transpose)
+        if bb is None:
+            return None
+        outs, off = [], 0
+        for g in stacks:
+            s = g.indices.shape[0]
+            sl = slice(off, off + s)
+            outs.append(bb._replace(
+                buckets=tuple(PaddedGraph(b.indices[sl], b.mask[sl])
+                              for b in bb.buckets),
+                tgraph=(bb.tgraph._replace(
+                    edge_pos=bb.tgraph.edge_pos[sl],
+                    query=bb.tgraph.query[sl],
+                    mask=bb.tgraph.mask[sl]) if bb.tgraph is not None else None),
+                perm=bb.perm[sl], inv_perm=bb.inv_perm[sl],
+                row_valid=bb.row_valid[sl]))
+            off += s
+        return outs
+
+    for si in range(num_scales):
+        enc_b = run([g.encoder[si] for g in built], n_pad)
+        if enc_b is not None:
+            for g, bb in zip(built, enc_b):
+                g.encoder[si] = bb
+        dec_b = run([g.decoder[si] for g in built], q_lat)
+        if dec_b is not None:
+            for g, bb in zip(built, dec_b):
+                g.decoder[si] = bb
+
+
 def attach_transpose_graphs(built: List[VxSplitGraphs], q_lat: int,
                             num_scales: int) -> None:
     """Attach per-sample transpose graphs (Kt unified across splits)."""
     from ..ops.padding import repad_tgraph
 
+    def tg_or_none(g, num_sources):
+        """Bucketed scales embed their transpose graph — skip them here."""
+        if not isinstance(g, PaddedGraph):
+            return None
+        return stack_tgraphs([
+            transpose_graph(PaddedGraph(g.indices[i], g.mask[i]), num_sources)
+            for i in range(g.indices.shape[0])])
+
     for g in built:
         n_pad_g = g.coords.shape[1]
-        g.encoder_t = [
-            stack_tgraphs([
-                transpose_graph(PaddedGraph(e.indices[i], e.mask[i]), n_pad_g)
-                for i in range(e.indices.shape[0])])
-            for e in g.encoder
-        ]
-        g.decoder_t = [
-            stack_tgraphs([
-                transpose_graph(PaddedGraph(d.indices[i], d.mask[i]), q_lat)
-                for i in range(d.indices.shape[0])])
-            for d in g.decoder
-        ]
+        g.encoder_t = [tg_or_none(e, n_pad_g) for e in g.encoder]
+        g.decoder_t = [tg_or_none(d, q_lat) for d in g.decoder]
     for si in range(num_scales):
-        kt_enc = max(g.encoder_t[si].kt for g in built)
-        kt_dec = max(g.decoder_t[si].kt for g in built)
-        for g in built:
-            g.encoder_t[si] = repad_tgraph(g.encoder_t[si], kt_enc)
-            g.decoder_t[si] = repad_tgraph(g.decoder_t[si], kt_dec)
+        if built[0].encoder_t[si] is not None:
+            kt_enc = max(g.encoder_t[si].kt for g in built)
+            for g in built:
+                g.encoder_t[si] = repad_tgraph(g.encoder_t[si], kt_enc)
+        if built[0].decoder_t[si] is not None:
+            kt_dec = max(g.decoder_t[si].kt for g in built)
+            for g in built:
+                g.decoder_t[si] = repad_tgraph(g.decoder_t[si], kt_dec)
+    for g in built:
+        if all(t is None for t in g.encoder_t):
+            g.encoder_t = None
+        if all(t is None for t in g.decoder_t):
+            g.decoder_t = None

@@ -176,32 +176,18 @@ def make_static_vx_loader(c: Optional[np.ndarray], u: np.ndarray,
     ``graphs`` is a VxSplitGraphs; u/c are per-sample arrays [S, N, ·]
     (unpadded N — they are padded here to the graph's N_pad).
     """
+    from .graph_builder import vx_graph_buffers
+
     n_pad = graphs.coords.shape[1]
-    n = u.shape[1]
 
     def pad_nodes(a):
         if a.shape[1] == n_pad:
             return a
         return np.pad(a, ((0, 0), (0, n_pad - a.shape[1]), (0, 0)))
 
-    buffers = {
-        "u": pad_nodes(u),
-        "x": graphs.coords,
-        "node_mask": graphs.node_mask,
-    }
+    buffers = {"u": pad_nodes(u), **vx_graph_buffers(graphs)}
     if c is not None:
         buffers["c"] = pad_nodes(c)
-    for s, g in enumerate(graphs.encoder):
-        buffers[f"enc_idx_{s}"] = g.indices
-        buffers[f"enc_mask_{s}"] = g.mask
-    for s, g in enumerate(graphs.decoder):
-        buffers[f"dec_idx_{s}"] = g.indices
-        buffers[f"dec_mask_{s}"] = g.mask
-    for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
-        for s, t in enumerate(tgs or []):
-            buffers[f"{prefix}_tpos_{s}"] = t.edge_pos
-            buffers[f"{prefix}_tq_{s}"] = t.query
-            buffers[f"{prefix}_tmask_{s}"] = t.mask
     return _buffers_loader(buffers, len(u), batch_size, shuffle, seed,
                            device_data)
 

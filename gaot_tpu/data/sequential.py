@@ -430,20 +430,11 @@ class RolloutTestBatcher:
 
 
 def _graph_buffers(graphs) -> Dict[str, np.ndarray]:
-    """Split-wide per-sample graph arrays keyed like the static vx loader."""
-    bufs = {"x": graphs.coords, "node_mask": graphs.node_mask}
-    for s, g in enumerate(graphs.encoder):
-        bufs[f"enc_idx_{s}"] = g.indices
-        bufs[f"enc_mask_{s}"] = g.mask
-    for s, g in enumerate(graphs.decoder):
-        bufs[f"dec_idx_{s}"] = g.indices
-        bufs[f"dec_mask_{s}"] = g.mask
-    for prefix, tgs in (("enc", graphs.encoder_t), ("dec", graphs.decoder_t)):
-        for s, t in enumerate(tgs or []):
-            bufs[f"{prefix}_tpos_{s}"] = t.edge_pos
-            bufs[f"{prefix}_tq_{s}"] = t.query
-            bufs[f"{prefix}_tmask_{s}"] = t.mask
-    return bufs
+    """Split-wide per-sample graph arrays keyed like the static vx loader
+    (incl. degree-bucketed layouts — data/graph_builder.py)."""
+    from .graph_builder import vx_graph_buffers
+
+    return vx_graph_buffers(graphs)
 
 
 def _attach_vx_graphs(batch: Dict, graphs, sample_idx: np.ndarray) -> None:

@@ -207,8 +207,10 @@ class AGNO(nn.Module):
         multiply_f = (f_y is not None
                       and self.transform_type != "nonlinear_kernelonly")
         nonlinear = self.transform_type in ("nonlinear", "nonlinear_kernelonly")
+        # f_y [B, N, C] (fx, shared coefs) or [N*, C] (vx-flattened, per-edge
+        # coefs) — both take the combined custom-VJP path.
         combined = (multiply_f and not nonlinear and bg.tgraph is not None
-                    and f_y.ndim == 3)
+                    and f_y.ndim in (2, 3))
         parts, offset = [], 0
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]

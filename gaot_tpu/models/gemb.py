@@ -135,6 +135,45 @@ def _standardize_valid(feats: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarra
     return (feats - mean) / std
 
 
+def _standardize_valid_grouped(feats: jnp.ndarray, row_valid: jnp.ndarray,
+                               bucket_rows, num_samples: int) -> jnp.ndarray:
+    """Per-SAMPLE standardization over valid rows of a bucket-major flat
+    layout (vx + degree bucketing): bucket j's rows are laid out
+    [num_samples, r_j] contiguous, so per-sample statistics accumulate by
+    reshaping each bucket slice — no scatter. Matches the reference's
+    per-sample geoembed standardization (src/model/layers/magno.py:396-400)."""
+    f32 = feats.astype(jnp.float32)
+    nfeat = feats.shape[-1]
+    splits = []
+    off = 0
+    s_sum = jnp.zeros((num_samples, nfeat), jnp.float32)
+    s_cnt = jnp.zeros((num_samples, 1), jnp.float32)
+    for r_flat in bucket_rows:
+        rj = r_flat // num_samples
+        fb = f32[off:off + r_flat].reshape(num_samples, rj, nfeat)
+        vb = row_valid[off:off + r_flat].reshape(num_samples, rj, 1
+                                                 ).astype(jnp.float32)
+        splits.append((off, r_flat, rj))
+        s_sum = s_sum + (fb * vb).sum(axis=1)
+        s_cnt = s_cnt + vb.sum(axis=1)
+        off += r_flat
+    mean = s_sum / jnp.maximum(s_cnt, 1.0)                  # [S, F]
+    s_sq = jnp.zeros((num_samples, nfeat), jnp.float32)
+    for off_j, r_flat, rj in splits:
+        fb = f32[off_j:off_j + r_flat].reshape(num_samples, rj, nfeat)
+        vb = row_valid[off_j:off_j + r_flat].reshape(num_samples, rj, 1
+                                                     ).astype(jnp.float32)
+        s_sq = s_sq + (((fb - mean[:, None, :]) ** 2) * vb).sum(axis=1)
+    std = jnp.sqrt(s_sq / jnp.maximum(s_cnt - 1.0, 1.0))    # unbiased, as torch
+    std = jnp.where(std < 1e-6, 1.0, std)
+    outs = []
+    for off_j, r_flat, rj in splits:
+        fb = f32[off_j:off_j + r_flat].reshape(num_samples, rj, nfeat)
+        outs.append(((fb - mean[:, None, :]) / std[:, None, :])
+                    .reshape(r_flat, nfeat))
+    return jnp.concatenate(outs, axis=0).astype(feats.dtype)
+
+
 def statistical_features(input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
                          graph: PaddedGraph, num_samples: int = 1) -> jnp.ndarray:
     """Normalized per-query geometric statistics (raw + standardization)."""
@@ -173,7 +212,11 @@ class GeometricEmbedding(nn.Module):
         if self.method == "statistical":
             feats = per_bucket(
                 lambda lq, g: raw_statistical_features(input_geom, lq, g))
-            if bucketed:
+            if bucketed and num_samples > 1:
+                feats = _standardize_valid_grouped(
+                    feats, graph.row_valid,
+                    [g.indices.shape[-2] for g in graph.buckets], num_samples)
+            elif bucketed:
                 feats = _standardize_valid(feats, graph.row_valid)
             else:
                 feats = _standardize_grouped(feats, num_samples)

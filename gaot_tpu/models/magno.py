@@ -22,10 +22,17 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from ..core.config import MAGNOConfig
 from ..ops.edge_drop import apply_edge_drop_mask
 from ..ops.gather_apply import unpermute_rows
-from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
+from ..ops.padding import (
+    BatchedBucketedGraph,
+    BucketedGraph,
+    PaddedGraph,
+    TransposeGraph,
+)
 from .agno import AGNO
 from .gemb import GeometricEmbedding, node_pos_encode
 from .mlp import ChannelMLP, ScaleWeightMLP
@@ -64,6 +71,69 @@ def flatten_vx_tgraph(tgraph: TransposeGraph, num_queries: int,
         query=(tgraph.query + q_off).reshape(b * s, kt),
         mask=tgraph.mask.reshape(b * s, kt),
     )
+
+
+def flatten_vx_bucketed(bb: BatchedBucketedGraph,
+                        num_sources: int) -> BucketedGraph:
+    """Flatten a batch of shared-layout per-sample bucketed graphs
+    (ops/padding.py::bucketize_graphs_stacked, batch-sliced to leading B)
+    into ONE flat BucketedGraph over the concatenated source set — the
+    bucketed analogue of flatten_vx_graph/flatten_vx_tgraph.
+
+    Flat layouts (bucket-major, sample-minor):
+      rows of bucket j: position B·ΣR_{<j} + s·R_j + r;
+      edges of bucket j: position B·Σ(R·K)_{<j} + s·R_j·K_j + e  with
+        e = r·K_j + k (matching the coef concat in
+        ops/gather_apply.py::_bucketed_bwd);
+      original query space: sample-major flat [B·Q].
+    """
+    b, q = bb.inv_perm.shape
+    rs = list(bb.bucket_rows)
+    ks = list(bb.bucket_ks)
+    nb = len(rs)
+    sizes_e = [r * k for r, k in zip(rs, ks)]
+    e_base = np.concatenate([[0], np.cumsum(sizes_e)]).astype(np.int64)
+    r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
+
+    def remap(pos, old_base, sizes, stride):
+        """Per-sample concat position → flat bucket-major position."""
+        out = jnp.zeros_like(pos)
+        s = jnp.arange(b, dtype=pos.dtype).reshape((b,) + (1,) * (pos.ndim - 1))
+        for j in range(nb):
+            lo = int(old_base[j])
+            sel = (pos >= lo) & (pos < lo + int(sizes[j]))
+            out = jnp.where(sel,
+                            b * lo + s * int(stride[j]) + (pos - lo), out)
+        return out
+
+    buckets = []
+    for g, k in zip(bb.buckets, ks):
+        off = (jnp.arange(b, dtype=g.indices.dtype) * num_sources)[:, None, None]
+        buckets.append(PaddedGraph((g.indices + off).reshape(-1, k),
+                                   g.mask.reshape(-1, k)))
+
+    tg = None
+    if bb.tgraph is not None:
+        kt = bb.tgraph.edge_pos.shape[-1]
+        tg = TransposeGraph(
+            edge_pos=remap(bb.tgraph.edge_pos, e_base, sizes_e,
+                           sizes_e).reshape(-1, kt),
+            query=remap(bb.tgraph.query, r_base, rs, rs).reshape(-1, kt),
+            mask=bb.tgraph.mask.reshape(-1, kt))
+
+    perm_parts, rv_parts = [], []
+    q_off = (jnp.arange(b, dtype=bb.perm.dtype) * q)[:, None]
+    for j in range(nb):
+        sl = slice(int(r_base[j]), int(r_base[j]) + rs[j])
+        rv = bb.row_valid[:, sl]
+        perm_parts.append(jnp.where(rv, bb.perm[:, sl] + q_off, 0).reshape(-1))
+        rv_parts.append(rv.reshape(-1))
+
+    return BucketedGraph(
+        buckets=tuple(buckets), tgraph=tg,
+        perm=jnp.concatenate(perm_parts),
+        inv_perm=remap(bb.inv_perm, r_base, rs, rs).reshape(-1),
+        row_valid=jnp.concatenate(rv_parts))
 
 
 class _MAGNOBase(nn.Module):
@@ -249,8 +319,13 @@ class MAGNOEncoder(_MAGNOBase):
             f_src = lifted.reshape(batch * n, -1)        # 2D f_y → shared path
             per_scale = []
             for graph, tg in zip(graphs, tgraphs):
-                flat = flatten_vx_graph(graph, n)
-                flat_t = flatten_vx_tgraph(tg, q, graph.k) if tg is not None else None
+                if isinstance(graph, BatchedBucketedGraph):
+                    flat = flatten_vx_bucketed(graph, n)
+                    flat_t = None
+                else:
+                    flat = flatten_vx_graph(graph, n)
+                    flat_t = (flatten_vx_tgraph(tg, q, graph.k)
+                              if tg is not None else None)
                 enc = self._agno_scale(src_coords, dst_coords, f_src, flat,
                                        training, num_samples=batch,
                                        tgraph=flat_t)
@@ -301,8 +376,13 @@ class MAGNODecoder(_MAGNOBase):
             f_src = rndata.reshape(batch * q, -1)
             per_scale = []
             for graph, tg in zip(graphs, tgraphs):
-                flat = flatten_vx_graph(graph, q)
-                flat_t = flatten_vx_tgraph(tg, m, graph.k) if tg is not None else None
+                if isinstance(graph, BatchedBucketedGraph):
+                    flat = flatten_vx_bucketed(graph, q)
+                    flat_t = None
+                else:
+                    flat = flatten_vx_graph(graph, q)
+                    flat_t = (flatten_vx_tgraph(tg, m, graph.k)
+                              if tg is not None else None)
                 dec = self._agno_scale(src_coords, dst_coords, f_src, flat,
                                        training, num_samples=batch,
                                        tgraph=flat_t)

@@ -38,41 +38,61 @@ def _forward(coef, f, indices):
 def gather_multiply_reduce(coef: jnp.ndarray, f: jnp.ndarray,
                            indices: jnp.ndarray, edge_pos: jnp.ndarray,
                            tquery: jnp.ndarray, tmask: jnp.ndarray) -> jnp.ndarray:
-    return _forward(coef, f, indices)
+    return _fwd(coef, f, indices, edge_pos, tquery, tmask)[0]
 
 
 def _fwd(coef, f, indices, edge_pos, tquery, tmask):
-    return _forward(coef, f, indices), (coef, f, indices, edge_pos, tquery, tmask)
+    if f.ndim == 2:
+        # Leading-axis bulk-row gather with a materialization boundary (the
+        # nbc path's discipline): XLA otherwise fuses the gather into its
+        # consumer and serializes it (~33 GiB/s measured on the vx decoder
+        # backward vs ~300 GiB/s as a row gather). The gathered rows are
+        # SAVED for the backward — d_coef re-reads them sequentially instead
+        # of re-gathering at random-row bandwidth.
+        gath = _bulk_gather(f, indices.reshape(-1)).reshape(indices.shape + f.shape[-1:])
+        out = jnp.sum(coef * gath, axis=-2)
+        return out, (coef, gath, edge_pos, tquery, tmask)
+    out = _forward(coef, f, indices)
+    return out, (coef, f, indices, edge_pos, tquery, tmask)
 
 
 def _bwd(res, dout):
-    coef, f, indices, edge_pos, tquery, tmask = res
-    k = indices.shape[-1]
-    c_dim = coef.shape[-1]
+    zeros_i = lambda x: jnp.zeros_like(x)  # integer/bool cotangents are inert
+    if len(res) == 5:                      # flat (vx-flattened) layout
+        coef, gath, edge_pos, tquery, tmask = res
+        f_dtype = gath.dtype
+        c_dim = coef.shape[-1]
+        # Both grads are cast back to the bf16 feature/param dtypes anyway,
+        # so run the backward gathers/products in the feature dtype — halves
+        # the dominant gather traffic when the loss upcasts dout to fp32.
+        dout = dout.astype(f_dtype)
+        d_coef = (dout[:, None, :] * gath).astype(coef.dtype)
+        coef_flat = coef.astype(f_dtype).reshape(-1, c_dim)
+        cg = _bulk_gather(coef_flat, edge_pos.reshape(-1)).reshape(
+            edge_pos.shape + (c_dim,))                    # [N, Kt, C]
+        dg = _bulk_gather(dout, tquery.reshape(-1)).reshape(
+            tquery.shape + (c_dim,))                      # [N, Kt, C]
+        d_f = jnp.sum(jnp.where(tmask[..., None], cg * dg, 0),
+                      axis=-2).astype(f_dtype)
+        return (d_coef, d_f, jnp.zeros(coef.shape[:2], jnp.int32),
+                zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 
-    if f.ndim == 2:
-        # d_coef[q,k,c] = dout[q,c] · f[idx[q,k],c]
-        d_coef = dout[:, None, :] * f[indices]
-        coef_flat = coef.reshape(-1, c_dim)
-        cg = coef_flat[edge_pos]                          # [N, Kt, C]
-        dg = dout[tquery]                                 # [N, Kt, C]
-        d_f = jnp.sum(jnp.where(tmask[..., None], cg * dg, 0), axis=-2)
+    coef, f, indices, edge_pos, tquery, tmask = res
+    c_dim = coef.shape[-1]
+    gathered = f[:, indices, :]                       # [B, Q, K, C]
+    if coef.ndim == 4:
+        d_coef = dout[:, :, None, :] * gathered
+        coef_flat = coef.reshape(coef.shape[0], -1, c_dim)
+        cg = coef_flat[:, edge_pos, :]                # [B, N, Kt, C]
     else:
-        gathered = f[:, indices, :]                       # [B, Q, K, C]
-        if coef.ndim == 4:
-            d_coef = dout[:, :, None, :] * gathered
-            coef_flat = coef.reshape(coef.shape[0], -1, c_dim)
-            cg = coef_flat[:, edge_pos, :]                # [B, N, Kt, C]
-        else:
-            d_coef = jnp.sum(dout[:, :, None, :] * gathered, axis=0)
-            coef_flat = coef.reshape(-1, c_dim)
-            cg = coef_flat[edge_pos][None]                # [1, N, Kt, C]
-        dg = dout[:, tquery, :]                           # [B, N, Kt, C]
-        d_f = jnp.sum(jnp.where(tmask[None, :, :, None], cg * dg, 0), axis=-2)
+        d_coef = jnp.sum(dout[:, :, None, :] * gathered, axis=0)
+        coef_flat = coef.reshape(-1, c_dim)
+        cg = coef_flat[edge_pos][None]                # [1, N, Kt, C]
+    dg = dout[:, tquery, :]                           # [B, N, Kt, C]
+    d_f = jnp.sum(jnp.where(tmask[None, :, :, None], cg * dg, 0), axis=-2)
 
     d_coef = d_coef.astype(coef.dtype)
     d_f = d_f.astype(f.dtype)
-    zeros_i = lambda x: jnp.zeros_like(x)  # integer/bool cotangents are inert
     return (d_coef, d_f, zeros_i(indices), zeros_i(edge_pos),
             zeros_i(tquery), zeros_i(tmask))
 
@@ -282,8 +302,16 @@ bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
 
 
 def apply_bucketed_graph_transform(coefs, f, bg) -> jnp.ndarray:
-    """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C]; bg: BucketedGraph with a
-    combined tgraph. Returns [B, R, C] in bucket-concatenated row order."""
+    """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C] (fx batched, shared
+    coefficients) or [N, C] (vx-flattened, per-edge coefficients); bg:
+    BucketedGraph with a combined tgraph. Returns [B, R, C] (or [R, C]) in
+    bucket-concatenated row order."""
+    if f.ndim == 2:
+        out = bucketed_gather_multiply_reduce(
+            tuple(coefs), f[:, None, :],
+            tuple(g.indices for g in bg.buckets),
+            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
+        return out[:, 0, :]
     out = bucketed_gather_multiply_reduce(
         tuple(coefs), jnp.swapaxes(f, 0, 1),
         tuple(g.indices for g in bg.buckets),

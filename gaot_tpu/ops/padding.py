@@ -339,6 +339,119 @@ def bucketize_graph(graph: PaddedGraph, num_sources: int,
     )
 
 
+class BatchedBucketedGraph(NamedTuple):
+    """Per-sample degree-bucketed graphs with a SHARED bucket layout.
+
+    The vx analogue of BucketedGraph: every sample's [Q, K] graph is
+    re-packed into the same bucket K values (chosen from the split-wide
+    degree distribution) with per-bucket row counts padded to the split-wide
+    maximum, so the whole split shares one static shape per bucket and a
+    batch is a plain row gather. The model flattens a batch of these into a
+    single flat BucketedGraph (models/magno.py::flatten_vx_bucketed).
+
+    buckets: per-bucket subgraphs, indices/mask [S, R_b, K_b] (ascending K).
+    tgraph: per-sample combined transpose graphs [S, N_src, Kt]; edge_pos /
+        query address each sample's OWN bucket-concatenated edge/row spaces
+        (edge base Σ_{j<b} R_j·K_j, row base Σ_{j<b} R_j).
+    perm: int32 [S, R] per-sample concat row → original query (0 on pad rows).
+    inv_perm: int32 [S, Q] original query → per-sample concat row.
+    row_valid: bool [S, R].
+    """
+
+    buckets: Tuple[PaddedGraph, ...]
+    tgraph: Optional[TransposeGraph]
+    perm: np.ndarray
+    inv_perm: np.ndarray
+    row_valid: np.ndarray
+
+    @property
+    def num_queries(self) -> int:
+        return self.inv_perm.shape[-1]
+
+    @property
+    def bucket_rows(self) -> Tuple[int, ...]:
+        return tuple(g.indices.shape[-2] for g in self.buckets)
+
+    @property
+    def bucket_ks(self) -> Tuple[int, ...]:
+        return tuple(g.indices.shape[-1] for g in self.buckets)
+
+
+def bucketize_graphs_stacked(graph: PaddedGraph, num_sources: int,
+                             with_transpose: bool = True, tile: int = 8,
+                             max_buckets: int = 4,
+                             launch_penalty_rows: int = 256,
+                             min_gain: float = 1.15,
+                             min_k: int = 12) -> Optional[BatchedBucketedGraph]:
+    """Degree-bucket a stacked per-sample graph [S, Q, K].
+
+    Bucket K values are chosen once from the pooled degree distribution of
+    all samples; per-sample bucket row counts are padded to the max over
+    samples (rounded to ``tile``), so every sample shares the layout.
+    Returns None when the padded-row win doesn't clear ``min_gain`` or
+    K < ``min_k`` (same economics as the fx bucketizer).
+
+    ``num_sources`` is the per-sample source-set size (N_pad for encoder
+    graphs, Q_latent for decoder graphs).
+    """
+    if graph.indices.ndim != 3 or graph.indices.shape[-1] < min_k:
+        return None
+    s, q, k = graph.indices.shape
+    deg = graph.mask.sum(-1).astype(np.int64)                     # [S, Q]
+    ks = _choose_bucket_ks(deg.reshape(-1), k, max_buckets, tile,
+                           launch_penalty_rows)
+    bid = np.searchsorted(np.asarray(ks), np.maximum(deg, 1))     # [S, Q]
+    counts = np.stack([(bid == b).sum(axis=1) for b in range(len(ks))],
+                      axis=0)                                     # [nb, S]
+    rs = [int(-(-max(int(c.max()), 0) // tile) * tile) if c.max() else 0
+          for c in counts]
+    keep = [b for b in range(len(ks)) if rs[b] > 0]
+    ks = [ks[b] for b in keep]
+    rs = [rs[b] for b in keep]
+    bucketed_rows = sum(r * kk for r, kk in zip(rs, ks))
+    if bucketed_rows == 0 or q * k < min_gain * bucketed_rows:
+        return None
+    # searchsorted against the kept K set (dropped empty buckets)
+    bid = np.searchsorted(np.asarray(ks), np.maximum(deg, 1))
+
+    r_total = sum(rs)
+    buckets = [(np.zeros((s, r, kk), dtype=np.int32),
+                np.zeros((s, r, kk), dtype=bool)) for r, kk in zip(rs, ks)]
+    perm = np.zeros((s, r_total), dtype=np.int32)
+    inv_perm = np.zeros((s, q), dtype=np.int32)
+    row_valid = np.zeros((s, r_total), dtype=bool)
+    r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
+
+    for i in range(s):
+        order = np.argsort(bid[i], kind="stable")
+        for b in range(len(ks)):
+            rows = order[bid[i][order] == b]
+            n = rows.shape[0]
+            if n == 0:
+                continue
+            idx_b, msk_b = buckets[b]
+            kb = ks[b]
+            idx_b[i, :n] = graph.indices[i][rows, :kb]
+            msk_b[i, :n] = graph.mask[i][rows, :kb]
+            base = int(r_base[b])
+            inv_perm[i, rows] = base + np.arange(n, dtype=np.int32)
+            perm[i, base:base + n] = rows
+            row_valid[i, base:base + n] = True
+
+    bucket_graphs = tuple(PaddedGraph(idx, msk) for idx, msk in buckets)
+    tg = None
+    if with_transpose:
+        per_sample = [
+            transpose_bucket_edges(
+                [PaddedGraph(g.indices[i], g.mask[i]) for g in bucket_graphs],
+                num_sources)
+            for i in range(s)
+        ]
+        tg = stack_tgraphs(per_sample)
+    return BatchedBucketedGraph(buckets=bucket_graphs, tgraph=tg, perm=perm,
+                                inv_perm=inv_perm, row_valid=row_valid)
+
+
 def stack_tgraphs(tgraphs: Sequence[TransposeGraph]) -> TransposeGraph:
     """Stack per-sample transpose graphs to [B, S, Kt] (re-padded to max Kt)."""
     kt = max(t.kt for t in tgraphs)

@@ -30,7 +30,7 @@ from ..data.sequential import (
 )
 from ..models import GAOT
 from ..models.rollout import autoregressive_predict
-from ..ops.padding import PaddedGraph, TransposeGraph
+from ..ops.padding import PaddedGraph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import create_sequential_animation, plot_estimates
 from .base_trainer import BaseTrainer
@@ -108,6 +108,8 @@ class SequentialTrainer(BaseTrainer):
                        if splits[name]["x"].ndim == 4 else splits[name]["x"]}
                 for name in ["train", "val", "test"]
             }
+            bucketing = (magno.use_query_bucketing and magno.transform_type
+                         in ("linear", "linear_kernelonly"))
             if dataset_config.graph_cache_dir:
                 self.vx_graphs = builder.build_all_vx_graphs_cached(
                     dataset_config.graph_cache_dir,
@@ -115,13 +117,15 @@ class SequentialTrainer(BaseTrainer):
                     graph_splits, latent, magno.radius, magno.scales,
                     build_train=self.setup_config.train,
                     model_transform=self.data_processor.coord_scaler,
-                    with_transpose=magno.use_transpose_backward)
+                    with_transpose=magno.use_transpose_backward,
+                    bucketing=bucketing)
             else:
                 self.vx_graphs = builder.build_all_vx_graphs(
                     graph_splits, latent, magno.radius, magno.scales,
                     build_train=self.setup_config.train,
                     model_transform=self.data_processor.coord_scaler,
-                    with_transpose=magno.use_transpose_backward)
+                    with_transpose=magno.use_transpose_backward,
+                    bucketing=bucketing)
         else:
             self.vx_graphs = None
             coord = self.data_processor.coord_scaler(splits["train"]["x"])
@@ -177,30 +181,13 @@ class SequentialTrainer(BaseTrainer):
         if self.coord_mode == "fx":
             return (self.coord, self.enc_graphs, self.dec_graphs, None,
                     self.enc_tgraphs, self.dec_tgraphs)
-        num_scales = len(self.model_config.args.magno.scales)
-        enc = [PaddedGraph(jnp.asarray(batch[f"enc_idx_{s}"]),
-                           jnp.asarray(batch[f"enc_mask_{s}"]))
-               for s in range(num_scales)]
-        dec = [PaddedGraph(jnp.asarray(batch[f"dec_idx_{s}"]),
-                           jnp.asarray(batch[f"dec_mask_{s}"]))
-               for s in range(num_scales)]
+        from ..data.graph_builder import vx_batch_graphs
 
-        def tg(prefix, s):
-            key = f"{prefix}_tpos_{s}"
-            if key not in batch:
-                return None
-            return TransposeGraph(jnp.asarray(batch[key]),
-                                  jnp.asarray(batch[f"{prefix}_tq_{s}"]),
-                                  jnp.asarray(batch[f"{prefix}_tmask_{s}"]))
-
-        enc_t = [tg("enc", s) for s in range(num_scales)]
-        dec_t = [tg("dec", s) for s in range(num_scales)]
-        if any(t is None for t in enc_t):
-            enc_t = None
-        if any(t is None for t in dec_t):
-            dec_t = None
-        return (jnp.asarray(batch["x"]), enc, dec,
-                jnp.asarray(batch["node_mask"]), enc_t, dec_t)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, (int, float, str))}
+        enc, dec, enc_t, dec_t = vx_batch_graphs(
+            jbatch, len(self.model_config.args.magno.scales))
+        return (jbatch["x"], enc, dec, jbatch["node_mask"], enc_t, dec_t)
 
     def _split_input(self, x):
         """Conditional-norm models consume the last time feature as the

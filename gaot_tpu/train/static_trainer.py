@@ -24,7 +24,7 @@ from ..data.data_processor import DataProcessor
 from ..data.graph_builder import GraphBuilder, prepare_fx_device_graphs
 from ..data.loader import make_static_fx_loader, make_static_vx_loader
 from ..models import GAOT
-from ..ops.padding import PaddedGraph, TransposeGraph
+from ..ops.padding import PaddedGraph
 from ..utils.metrics import compute_batch_errors, compute_final_metric
 from ..utils.plotting import plot_estimates
 from .base_trainer import BaseTrainer
@@ -82,19 +82,26 @@ class StaticTrainer(BaseTrainer):
         builder = GraphBuilder.from_magno_config(magno)
         cfg = dataset_config
         if is_vx:
+            # Same economics guard as the fx path
+            # (data/graph_builder.py::prepare_fx_device_graphs): nonlinear
+            # kernels keep the dense layout.
+            bucketing = (magno.use_query_bucketing and magno.transform_type
+                         in ("linear", "linear_kernelonly"))
             if cfg.graph_cache_dir:
                 self.vx_graphs = builder.build_all_vx_graphs_cached(
                     cfg.graph_cache_dir, f"{cfg.name}-{cfg.coord_scaling}",
                     splits, latent, magno.radius, magno.scales,
                     build_train=self.setup_config.train,
                     model_transform=self.data_processor.coord_scaler,
-                    with_transpose=magno.use_transpose_backward)
+                    with_transpose=magno.use_transpose_backward,
+                    bucketing=bucketing)
             else:
                 self.vx_graphs = builder.build_all_vx_graphs(
                     splits, latent, magno.radius, magno.scales,
                     build_train=self.setup_config.train,
                     model_transform=self.data_processor.coord_scaler,
-                    with_transpose=magno.use_transpose_backward)
+                    with_transpose=magno.use_transpose_backward,
+                    bucketing=bucketing)
             loaders = {}
             for name in ["train", "val", "test"]:
                 g = self.vx_graphs[name]
@@ -150,28 +157,12 @@ class StaticTrainer(BaseTrainer):
         self.replicate_params()
 
     def _batch_graphs(self, batch: Dict):
-        """Reassemble per-scale PaddedGraphs (+ transpose graphs) from a (vx)
-        batch dict."""
-        num_scales = len(self.model_config.args.magno.scales)
-        enc = [PaddedGraph(batch[f"enc_idx_{s}"], batch[f"enc_mask_{s}"])
-               for s in range(num_scales)]
-        dec = [PaddedGraph(batch[f"dec_idx_{s}"], batch[f"dec_mask_{s}"])
-               for s in range(num_scales)]
+        """Reassemble per-scale vx graphs (dense PaddedGraphs + transpose
+        graphs, or degree-bucketed layouts) from a batch dict."""
+        from ..data.graph_builder import vx_batch_graphs
 
-        def tg(prefix, s):
-            key = f"{prefix}_tpos_{s}"
-            if key not in batch:
-                return None
-            return TransposeGraph(batch[key], batch[f"{prefix}_tq_{s}"],
-                                  batch[f"{prefix}_tmask_{s}"])
-
-        enc_t = [tg("enc", s) for s in range(num_scales)]
-        dec_t = [tg("dec", s) for s in range(num_scales)]
-        if any(t is None for t in enc_t):
-            enc_t = None
-        if any(t is None for t in dec_t):
-            dec_t = None
-        return enc, dec, enc_t, dec_t
+        return vx_batch_graphs(batch,
+                               len(self.model_config.args.magno.scales))
 
     def _model_args(self, batch: Dict):
         """(xcoord, pndata, enc_graphs, dec_graphs, enc_t, dec_t)."""

@@ -37,14 +37,18 @@ def _fourier_field(rng, coords, n_modes=6, decay=1.3):
 
 
 def make_static_fx(path, num_samples=352, num_nodes=1024, seed=0):
-    """Poisson-like: fixed scattered coords; smooth c -> u = nonlinear
-    local+global functional of c."""
+    """Poisson-like: fixed scattered coords; smooth c -> u via a LOW-
+    complexity local map. Deliberately easy: convergence parity needs both
+    frameworks funneled into the same (generalizing) basin, so the target
+    must be strongly determined by the data — low-frequency c, mild
+    nonlinearity, no fine-structure coupling."""
     rng = np.random.default_rng(seed)
     coords = rng.uniform(0, 1, (num_nodes, 2)).astype(np.float64)
-    c = np.stack([_fourier_field(rng, coords) for _ in range(num_samples)])
+    c = np.stack([_fourier_field(rng, coords, n_modes=4, decay=1.8)
+                  for _ in range(num_samples)])
     c = (c / c.std()).astype(np.float64)
-    cx = np.sin(2 * np.pi * coords[:, 0]) * np.cos(2 * np.pi * coords[:, 1])
-    u = 0.7 * c + 0.25 * np.tanh(2.0 * c) + 0.3 * cx[None, :] + 0.15 * c * cx[None, :]
+    cx = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
+    u = 0.85 * c + 0.1 * np.tanh(c) + 0.25 * cx[None, :]
     u_arr = u[:, None, :, None].astype(np.float32)
     c_arr = c[:, None, :, None].astype(np.float32)
     x_arr = np.broadcast_to(coords[None, None].astype(np.float32),
@@ -62,12 +66,12 @@ def make_static_vx(path, num_samples=176, num_nodes=768, seed=1):
     """Airfoil-like: per-sample coordinates; u determined by (x, c)."""
     rng = np.random.default_rng(seed)
     x = rng.uniform(0, 1, (num_samples, num_nodes, 2)).astype(np.float64)
-    c = np.stack([np.stack([_fourier_field(rng, x[s]) for _ in range(2)], -1)
+    c = np.stack([np.stack([_fourier_field(rng, x[s], n_modes=4, decay=1.8)
+                            for _ in range(2)], -1)
                   for s in range(num_samples)])
     c = (c / c.std()).astype(np.float64)
     geom = np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
-    u = (0.6 * c[..., 0] + 0.3 * np.tanh(c[..., 1]) + 0.35 * geom
-         + 0.2 * c[..., 0] * geom)
+    u = 0.8 * c[..., 0] + 0.15 * np.tanh(c[..., 1]) + 0.25 * geom
     u_arr = u[:, None, :, None].astype(np.float32)
     c_arr = c[:, None].astype(np.float32)
     x_arr = x[:, None].astype(np.float32)
@@ -89,13 +93,13 @@ def make_sequential_fx(path, num_samples=120, num_nodes=768,
     rng = np.random.default_rng(seed)
     coords = rng.uniform(0, 1, (num_nodes, 2)).astype(np.float64)
     t = np.linspace(0, 1, num_timesteps)
-    nu = 0.15
-    n_modes = 8
+    nu = 0.2
+    n_modes = 6
     u = np.zeros((num_samples, num_timesteps, num_nodes))
     for s in range(num_samples):
         k = rng.integers(1, 4, size=(n_modes, 2))
         phase = rng.uniform(0, 2 * np.pi, (n_modes, 2))
-        amp = rng.normal(size=n_modes) / (k.sum(1) ** 1.1)
+        amp = rng.normal(size=n_modes) / (k.sum(1) ** 1.5)
         lam = nu * (k ** 2).sum(1)
         modes = (np.sin(2 * np.pi * k[:, None, 0] * coords[None, :, 0]
                         + phase[:, None, 0])
@@ -126,6 +130,9 @@ def _write_nc(path, **arrays):
 # ----------------------------------------------------------------------
 # recipes
 # ----------------------------------------------------------------------
+# Capacity deliberately modest relative to the training-set size (memorizing
+# basins must be unattractive for BOTH frameworks) and the LR gentle —
+# convergence-parity runs must land in the same minimum.
 _STATIC_MODEL = {
     "latent_tokens_size": [16, 16],
     "args": {
@@ -135,7 +142,7 @@ _STATIC_MODEL = {
                   "attention_type": "cosine", "use_geoembed": True,
                   "embedding_method": "statistical",
                   "transform_type": "linear"},
-        "transformer": {"patch_size": 2, "hidden_size": 64, "num_layers": 3,
+        "transformer": {"patch_size": 2, "hidden_size": 48, "num_layers": 2,
                         "positional_embedding": "absolute",
                         "attn_config": {"num_heads": 4, "num_kv_heads": 4}},
     },
@@ -143,9 +150,9 @@ _STATIC_MODEL = {
 
 _STATIC_OPT = {
     "name": "adamw",
-    "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": 400,
+    "args": {"lr": 5e-4, "weight_decay": 1e-5, "epoch": 400,
              "eval_every_eps": 10, "scheduler": "mix",
-             "max_lr": 8e-4, "min_lr": 1e-5, "final_lr": 1e-5,
+             "max_lr": 5e-4, "min_lr": 1e-5, "final_lr": 1e-5,
              "early_save_metric": "val"},
 }
 
@@ -157,7 +164,7 @@ CASES = {
     "static_fx": {
         "trainer": "static",
         "make": make_static_fx,
-        "dataset": {"train_size": 256, "val_size": 32, "test_size": 64,
+        "dataset": {"train_size": 288, "val_size": 32, "test_size": 32,
                     "batch_size": 32, "coord_scaling": "per_dim_scaling",
                     "shuffle": False, "num_workers": 0},
         "model": _STATIC_MODEL,
@@ -166,7 +173,7 @@ CASES = {
     "static_vx": {
         "trainer": "static",
         "make": make_static_vx,
-        "dataset": {"train_size": 128, "val_size": 16, "test_size": 32,
+        "dataset": {"train_size": 144, "val_size": 16, "test_size": 16,
                     "batch_size": 16, "coord_scaling": "per_dim_scaling",
                     "shuffle": False, "num_workers": 0},
         "model": _STATIC_MODEL,
@@ -187,8 +194,8 @@ for _mode in ("output", "residual", "time_der"):
                     "predict_mode": "all", "stepper_mode": _mode},
         "model": _STATIC_MODEL,
         "optimizer": {**_STATIC_OPT,
-                      "args": {**_STATIC_OPT["args"], "epoch": 60,
-                               "eval_every_eps": 4}},
+                      "args": {**_STATIC_OPT["args"], "epoch": 100,
+                               "eval_every_eps": 5}},
     }
 
 
@@ -213,7 +220,7 @@ def ensure_dataset(case_name: str, data_dir: str) -> dict:
 def build_config(case_name: str, data_dir: str, workdir: str, side: str) -> dict:
     """Shared-schema config dict for either side ('ref' | 'gaot')."""
     case = CASES[case_name]
-    out = os.path.join(workdir, side)
+    out = os.path.join(workdir, side, case_name)
     cfg = {
         "setup": {"seed": 42, "trainer_name": case["trainer"],
                   "train": True, "test": False, "ckpt": False},

@@ -117,6 +117,7 @@ def _fx_workload(rng, num_nodes=180, grid=(8, 8), radius=0.35,
 
 @pytest.mark.parametrize("use_scale_weights,scales",
                          [(False, (1.0,)), (True, (1.0, 2.0))])
+@pytest.mark.slow
 def test_model_parity_bucketed_vs_dense(use_scale_weights, scales):
     rng = np.random.default_rng(2)
     model, cfg, coords, lat, enc, dec, pndata = _fx_workload(
@@ -164,6 +165,7 @@ def test_model_parity_bucketed_vs_dense(use_scale_weights, scales):
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_bucketed_transpose_backward_matches_plain():
     """The combined custom VJP (per-bucket forward/d_coef gathers, one d_f
     pass over the concat-space transpose graph) must match autodiff of the

@@ -53,6 +53,7 @@ def test_example_configs_parse():
     assert found >= 5
 
 
+@pytest.mark.slow
 def test_cli_run_config_end_to_end(tmp_path):
     """Full CLI path: config file → trainer → CSV database row."""
     from gaot_tpu.cli import run_config

@@ -21,6 +21,9 @@ from test_train_e2e import TINY_MODEL, TINY_OPT, _paths  # noqa: E402
 from test_train_e2e import static_toy_config  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (--runslow)
+
+
 def _static_config(tmp_path, name, device_data):
     return static_toy_config(
         tmp_path, name,

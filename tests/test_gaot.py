@@ -94,6 +94,7 @@ def test_gaot_forward_fx(scales, use_scale_weights):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_gaot_forward_vx():
     """Variable coordinates: per-sample graphs batched [B, Q, K]."""
     rng = np.random.default_rng(3)
@@ -118,6 +119,7 @@ def test_gaot_forward_vx():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_gaot_vx_equals_fx_when_coords_identical():
     """With identical coords replicated across the batch, vx must reproduce
     the fx result (same math, different layout)."""

@@ -86,6 +86,7 @@ def test_jit_and_vmap_compatible():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_gaot_with_tgraphs_matches_without():
     """Full model forward/grad parity with and without transpose graphs."""
     from gaot_tpu.core.config import ModelConfig, merge_config
@@ -133,6 +134,7 @@ def test_gaot_with_tgraphs_matches_without():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_nbc_pallas_consumer_integration_matches_einsum(monkeypatch):
     """The K-major transposes wiring the Pallas consumers into the nbc custom
     VJP (the path that runs on TPU) matches the einsum fallback — exercised

@@ -4,6 +4,7 @@ against a naive CSR implementation of the reference statistics
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaot_tpu.models.gemb import (
     GeometricEmbedding,
@@ -76,6 +77,7 @@ def test_statistical_features_match_csr():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_geoembed_shapes_and_empty_rows():
     rng = np.random.default_rng(3)
     geom = rng.uniform(-1, 1, (50, 3)).astype(np.float32)

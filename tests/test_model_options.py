@@ -84,6 +84,7 @@ def test_conditional_norm_model():
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_dtype():
     lat, coords, pndata, enc, dec = _setup_inputs()
     cfg = merge_config(ModelConfig, {

@@ -7,6 +7,11 @@ import subprocess
 import sys
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (--runslow)
+
+
 def test_multihost_smoke():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "scripts", "multihost_smoke.py")

@@ -3,6 +3,7 @@ equivalence, tensor-parallel param sharding, full multichip dry run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from gaot_tpu.parallel.mesh import (
@@ -79,6 +80,7 @@ def test_data_parallel_loss_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

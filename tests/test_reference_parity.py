@@ -17,9 +17,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 import reference_stub  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_stub.reference_available(),
-    reason="reference snapshot not mounted at /root/reference")
+    reason="reference snapshot not mounted at /root/reference")]
 
 
 def flax_to_reference_state_dict(params):

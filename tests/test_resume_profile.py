@@ -11,6 +11,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 from test_train_e2e import static_toy_config  # noqa: E402
@@ -49,6 +50,7 @@ def test_resume_restores_optimizer_state(tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_profile_dir_captures_trace(tmp_path):
     from gaot_tpu.cli import run_config
 

@@ -90,6 +90,7 @@ def test_forward_matches_unsharded(mesh):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_spatial_parallel_end_to_end(tmp_path):
     """StaticTrainer with setup.spatial_parallel trains and evaluates; the
     global spatial mode is reset by a later non-spatial trainer."""

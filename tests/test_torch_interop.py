@@ -7,6 +7,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (--runslow)
+
+
 def _make_params(use_scale_weights=False, attention_type="cosine",
                  embedding_method="statistical", use_conditional_norm=False):
     import jax

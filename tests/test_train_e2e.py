@@ -12,6 +12,9 @@ from synthetic import (  # noqa: E402
     make_static_vx_dataset,
 )
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (--runslow)
+
+
 TINY_MODEL = {
     "latent_tokens_size": [8, 8],
     "args": {

@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.dirname(__file__))
 import reference_stub  # noqa: E402
 from test_reference_parity import flax_to_reference_state_dict  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_stub.reference_available(),
-    reason="reference snapshot not mounted at /root/reference")
+    reason="reference snapshot not mounted at /root/reference")]
 
 
 def test_adamw_loss_trajectory_matches_reference():

@@ -3,6 +3,7 @@ preservation, UViT structure, conditional norm."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaot_tpu.core.config import AttentionConfig, TransformerConfig
 from gaot_tpu.models.transformer import (
@@ -83,6 +84,7 @@ def _run_transformer(num_layers, seq=8, width=32, **kw):
     return model, params, x
 
 
+@pytest.mark.slow
 def test_transformer_shapes_odd_and_even_layers():
     for n in [1, 2, 3, 4, 5]:
         model, params, x = _run_transformer(n)
