@@ -168,6 +168,11 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
 
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-1, 1, (train_size, num_nodes, 2)).astype(np.float32)
+    if os.environ.get("BENCH_MORTON", "0") == "1":
+        from gaot_tpu.ops.padding import morton_order
+
+        coords = np.stack([c[morton_order(c)] for c in coords])
+        log("morton: spatially sorted per-sample nodes")
     axes = [np.linspace(-1, 1, latent[0]), np.linspace(-1, 1, latent[1])]
     lat = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 2).astype(np.float32)
 

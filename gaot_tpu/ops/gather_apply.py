@@ -287,7 +287,12 @@ def _bucketed_bwd(res, dout):
             0, 1).astype(coef.dtype))
         off += qb
 
-    coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs], axis=0)
+    # Gather the per-edge coefficients in the feature dtype: attention
+    # weights computed from f32 coords promote coef to f32, which doubles
+    # this latency-bound row gather's traffic (measured f32 on the encoder
+    # d_f pass).
+    coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
+                                axis=0).astype(f_dtype)
     cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt, N, C]
     dg_km = _bulk_gather(dout2, tquery.T)                         # [Kt, N, W]
     d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)

@@ -39,6 +39,27 @@ def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
 
 
+def morton_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Z-order (Morton) permutation of a point set [N, d] (d ∈ {2, 3}).
+
+    Spatially sorted nodes make radius-graph neighbor indices of nearby
+    queries cluster, which turns the model's per-edge row gathers from
+    random-row DMA (latency-bound, ~33 GiB/s measured on v5e for 128-byte
+    rows) into locally-dense access. Applied per sample at vx graph build.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n, d = coords.shape
+    lo = coords.min(axis=0)
+    rng = np.maximum(coords.max(axis=0) - lo, 1e-12)
+    q = ((coords - lo) / rng * ((1 << bits) - 1)).astype(np.uint64)
+    key = np.zeros(n, dtype=np.uint64)
+    for b in range(bits):
+        for dim in range(d):
+            key |= ((q[:, dim] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * d + dim)
+    return np.argsort(key, kind="stable")
+
+
 def pad_csr(
     neighbors_index: np.ndarray,
     row_splits: np.ndarray,

@@ -54,6 +54,164 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (acc * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
 
 
+def _attn_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    """Forward that also emits the base-2 log-sum-exp per row (for the
+    kv-tiled long-sequence backward)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    maxes = jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp2(logits - maxes)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (acc * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
+    lse_ref[0] = (maxes + jnp.log2(denom))[:, 0]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale: float):
+    """Long-S backward, dQ pass: grid (bh, i_q, j_kv), kv fastest.
+
+    p is normalized directly from the forward lse (base-2), so no cross-tile
+    softmax state is needed; delta = rowsum(dO∘O) is precomputed outside.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(logits - lse_ref[0][:, None])              # normalized
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [qt, kt]
+    ds = (p * (dp - delta_ref[0][:, None])).astype(k.dtype)
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _fin():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    """Long-S backward, dK/dV pass: grid (bh, j_kv, i_q), q fastest."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(logits - lse_ref[0][:, None])              # [qt, kt]
+    pb = p.astype(v.dtype)
+    dv_acc[:] += jax.lax.dot_general(
+        pb, do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do_ref[0], v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta_ref[0][:, None])).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _fin():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_long(q, k, v, out, do, lse):
+    """kv- AND q-tiled flash backward for S > _BWD_TILED_MAX_S.
+
+    Two kernels (dQ with kv-fastest accumulation; dK/dV with q-fastest),
+    each normalizing its [qt, kt] tile from the forward LSE. Recomputes the
+    QK^T tiles twice — the price of clean single-block accumulation on the
+    TPU grid model.
+    """
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = 1.0 / (d ** 0.5)
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
+    doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    oh = out.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    # delta = rowsum(dO ∘ O): skinny [bh, S] precompute outside the kernels.
+    delta = jnp.einsum("bsd,bsd->bs", doh.astype(jnp.float32),
+                       oh.astype(jnp.float32))
+
+    tile = 512
+    while s % tile:
+        tile //= 2
+
+    def kv_head(bh):
+        return (bh // h) * hkv + (bh % h) // group
+
+    q_spec = pl.BlockSpec((1, tile, d), lambda bh, i, j: (bh, i, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, tile, d), lambda bh, i, j: (kv_head(bh), j, 0),
+                          memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, tile), lambda bh, i, j: (bh, i),
+                            memory_space=pltpu.VMEM)
+    dq_spec = pl.BlockSpec((1, tile, d), lambda bh, i, j: (bh, i, 0),
+                           memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(b * h, s // tile, s // tile),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec],
+        out_specs=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+    )(qh, kh, vh, doh, lse, delta)
+
+    # dK/dV pass: one program per (bh, kv-tile), q streamed.
+    qs_spec = pl.BlockSpec((1, tile, d), lambda bh, j, i: (bh, i, 0),
+                           memory_space=pltpu.VMEM)
+    ks_spec = pl.BlockSpec((1, tile, d), lambda bh, j, i: (kv_head(bh), j, 0),
+                           memory_space=pltpu.VMEM)
+    lse_s = pl.BlockSpec((1, tile), lambda bh, j, i: (bh, i),
+                         memory_space=pltpu.VMEM)
+    dkv_spec = pl.BlockSpec((1, tile, d), lambda bh, j, i: (bh, j, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
+    dkp, dvp = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(b * h, s // tile, s // tile),
+        in_specs=[qs_spec, ks_spec, ks_spec, qs_spec, lse_s, lse_s],
+        out_specs=[dkv_spec, dkv_spec],
+        out_shape=[out_sds, out_sds],
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32),
+                        pltpu.VMEM((tile, d), jnp.float32)],
+    )(qh, kh, vh, doh, lse, delta)
+
+    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _bwd_core(q, k, v, do, o, scale):
     """Shared backward math for one q-tile against full K/V.
 
@@ -139,13 +297,13 @@ def _supported(seq: int, head_dim: int) -> bool:
 
 
 _BWD_MONOLITHIC_MAX_S = 1024   # fully-resident backward (fastest, measured)
-_BWD_TILED_MAX_S = 4096        # q-tiled backward for 3D grids
+_BWD_TILED_MAX_S = 4096        # q-tiled backward (K/V fully resident)
+# Beyond that, the two-kernel LSE backward tiles BOTH axes (64^3-grid
+# patch-2 regimes: S up to 32k).
 
 
 def _bwd_supported(seq: int, head_dim: int) -> bool:
-    # Monolithic kernel holds two fp32 [S, S] buffers per program in VMEM
-    # (~8 MB at S=1024); the tiled kernel covers longer sequences.
-    return seq % 128 == 0 and head_dim % 8 == 0 and seq <= _BWD_TILED_MAX_S
+    return seq % 128 == 0 and head_dim % 8 == 0 and seq * head_dim <= 1 << 20
 
 
 def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -179,13 +337,21 @@ def _flash_diff(q, k, v, q_block):
 
 
 def _flash_fwd_rule(q, k, v, q_block):
+    if q.shape[1] > _BWD_TILED_MAX_S and _bwd_supported(q.shape[1], q.shape[3]):
+        # Long sequences: emit the log-sum-exp alongside the output so the
+        # kv-tiled backward can normalize each tile locally.
+        out, lse = _flash_forward(q, k, v, q_block, with_lse=True)
+        return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, q_block)
-    return out, (q, k, v, out)
+    return out, (q, k, v, out, None)
 
 
 def _flash_bwd_rule(q_block, residuals, g):
-    q, k, v, out = residuals
-    if _bwd_supported(q.shape[1], q.shape[3]):
+    q, k, v, out, lse = residuals
+    s = q.shape[1]
+    if lse is not None:
+        return _flash_backward_long(q, k, v, out, g, lse)
+    if _bwd_supported(s, q.shape[3]) and s <= _BWD_TILED_MAX_S:
         return _flash_backward(q, k, v, out, g)
     from ...models.transformer import gqa_attention_xla
 
@@ -257,7 +423,7 @@ def _flash_backward(q, k, v, out, do):
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   q_block: int) -> jnp.ndarray:
+                   q_block: int, with_lse: bool = False):
     b, s, h, d = q.shape
     hkv = k.shape[2]
     assert h % hkv == 0
@@ -274,17 +440,31 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return ((bh // h) * hkv + (bh % h) // group, 0, 0)
 
     grid = (b * h, s // q_block)
+    in_specs = [
+        pl.BlockSpec((1, q_block, d), lambda bh, qs: (bh, qs, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((1, q_block, d), lambda bh, qs: (bh, qs, 0),
+                          memory_space=pltpu.VMEM)
+    if with_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_attn_kernel_lse, scale=scale),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[o_spec,
+                       pl.BlockSpec((1, q_block), lambda bh, qs: (bh, qs),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+                       jax.ShapeDtypeStruct((b * h, s), jnp.float32)],
+        )(qh, kh, vh)
+        return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), lse
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_block, d), lambda bh, qs: (bh, qs, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), kv_index, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, q_block, d), lambda bh, qs: (bh, qs, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
     )(qh, kh, vh)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -142,7 +142,7 @@ _STATIC_MODEL = {
                   "attention_type": "cosine", "use_geoembed": True,
                   "embedding_method": "statistical",
                   "transform_type": "linear"},
-        "transformer": {"patch_size": 2, "hidden_size": 48, "num_layers": 2,
+        "transformer": {"patch_size": 2, "hidden_size": 64, "num_layers": 3,
                         "positional_embedding": "absolute",
                         "attn_config": {"num_heads": 4, "num_kv_heads": 4}},
     },

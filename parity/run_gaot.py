@@ -26,6 +26,13 @@ def main():
 
     if args.platform != "auto":
         os.environ["JAX_PLATFORMS"] = args.platform
+        # The container's axon sitecustomize pins jax_platforms to the TPU
+        # tunnel regardless of the env var (see __graft_entry__); force the
+        # explicit config before any backend initializes, else parity runs
+        # block on the single-tenant chip.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gaot_jax_cache")
 
     data_dir = os.path.join(args.workdir, "data")

@@ -67,7 +67,7 @@ def make_sequential_dataset(path, num_samples, num_nodes, num_timesteps=15,
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("sequential", "vx")]
+    args = [a for a in sys.argv[1:] if a not in ("sequential", "vx", "3d")]
     epochs = int(args[0]) if len(args) > 0 else 40
     num_nodes = int(args[1]) if len(args) > 1 else 2048
     train_size = int(args[2]) if len(args) > 2 else 512
@@ -75,6 +75,8 @@ def main():
         return run_sequential(epochs, num_nodes, train_size)
     if "vx" in sys.argv[1:]:
         return run_vx(epochs, num_nodes, train_size)
+    if "3d" in sys.argv[1:]:
+        return run_3d(epochs, num_nodes, train_size)
 
     out_dir = os.path.abspath(".demo")
     os.makedirs(out_dir, exist_ok=True)
@@ -125,6 +127,93 @@ def main():
     t0 = time.perf_counter()
     run_config(cfg_path)
     print(f"demo complete in {time.perf_counter() - t0:.1f}s; "
+          f"artifacts in {out_dir}")
+
+
+def make_3d_dataset(path, num_samples, num_nodes, seed=0):
+    """3D scattered points in [0,1]^3; smooth c -> u local map."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 1, (num_nodes, 3)).astype(np.float32)
+    centers = rng.uniform(0, 1, (num_samples, 4, 3))
+    amps = rng.normal(size=(num_samples, 4)) * 0.5
+    widths = rng.uniform(0.1, 0.25, (num_samples, 4))
+    d2 = ((coords[None, None] - centers[:, :, None]) ** 2).sum(-1)
+    c = (amps[..., None] * np.exp(-d2 / (2 * widths[..., None] ** 2))).sum(1)
+    u = (amps[..., None] * widths[..., None] ** 2 * 20.0
+         * np.exp(-d2 / (2 * (2.0 * widths[..., None]) ** 2))).sum(1)
+    x = np.broadcast_to(coords[None, None], (num_samples, 1, num_nodes, 3))
+    np.savez(path, u=u[:, None, :, None].astype(np.float32),
+             c=c[:, None, :, None].astype(np.float32),
+             x=np.ascontiguousarray(x))
+
+
+def run_3d(epochs, num_nodes, train_size, latent=64):
+    """GAOT-3D-scale flagship: 64^3 latent grid (262k latent queries), patch
+    4 -> 4096 transformer tokens — exercises the 3D patchify path, kNN
+    graphs in 3D, and the q-tiled Pallas flash backward at its S=4096 design
+    point (ops/pallas/flash_attention.py)."""
+    out_dir = os.path.abspath(".demo_3d")
+    os.makedirs(out_dir, exist_ok=True)
+    data_path = os.path.join(out_dir, f"demo3d_{num_nodes}_{train_size}.npz")
+    if not os.path.exists(data_path):
+        make_3d_dataset(data_path, train_size + 32, num_nodes)
+
+    from gaot_tpu.core.metadata import DATASET_METADATA, Metadata
+
+    DATASET_METADATA.setdefault("demo/poisson3d", Metadata(
+        periodic=False, group_u="u", group_c="c", group_x="x", type="gaot",
+        fix_x=True, domain_x=([0, 0, 0], [1, 1, 1]), domain_t=None,
+        active_variables=[0], chunked_variables=[0], num_variable_chunks=1,
+        signed={"u": [True], "c": None}, names={"u": ["$u$"], "c": ["$c$"]},
+        global_mean=[0.0], global_std=[0.05]))
+
+    config = {
+        "setup": {"seed": 7, "trainer_name": "static", "train": True,
+                  "compute_dtype": "bfloat16"},
+        "model": {
+            "latent_tokens_size": [latent, latent, latent],
+            "args": {
+                # kNN graphs: 3D radius graphs at 64^3 resolution are
+                # degenerate (empty or huge) for any single radius; the
+                # reference exposes the same strategy knob
+                # (MAGNOConfig.neighbor_strategy, magno.py:59).
+                "magno": {"coord_dim": 3, "radius": 0.05, "hidden_size": 32,
+                          "mlp_layers": 2, "lifting_channels": 16,
+                          "neighbor_strategy": "knn", "max_neighbors": 8},
+                "transformer": {"patch_size": 4, "hidden_size": 192,
+                                "num_layers": 3},
+            },
+        },
+        "dataset": {
+            "name": f"demo3d_{num_nodes}_{train_size}",
+            "metaname": "demo/poisson3d",
+            "base_path": out_dir,
+            "train_size": train_size, "val_size": 16, "test_size": 16,
+            "batch_size": 4, "shuffle": True,
+        },
+        "optimizer": {
+            "name": "adamw",
+            "args": {"lr": 8e-4, "weight_decay": 1e-5, "epoch": epochs,
+                     "eval_every_eps": max(2, epochs // 10),
+                     "scheduler": "mix", "max_lr": 1e-3, "min_lr": 1e-4,
+                     "final_lr": 5e-5},
+        },
+        "path": {
+            "ckpt_path": os.path.join(out_dir, "ckpt"),
+            "loss_path": os.path.join(out_dir, "loss.png"),
+            "result_path": os.path.join(out_dir, "result.png"),
+            "database_path": os.path.join(out_dir, "db.csv"),
+        },
+    }
+    cfg_path = os.path.join(out_dir, "demo3d.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+
+    from gaot_tpu.cli import run_config
+
+    t0 = time.perf_counter()
+    run_config(cfg_path)
+    print(f"3d demo complete in {time.perf_counter() - t0:.1f}s; "
           f"artifacts in {out_dir}")
 
 

@@ -120,3 +120,37 @@ def test_flash_attention_tiled_backward_matches_xla():
     for a, b_ in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_flash_backward_long_matches_xla():
+    """LSE-based two-kernel backward for S > 4096 (interpret mode, small S
+    with the thresholds monkey-patched down)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gaot_tpu.models.transformer import gqa_attention_xla
+    from gaot_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    b, s, h, hkv, d = 1, 256, 2, 1, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    do = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = fa._flash_forward(q, k, v, q_block=128, with_lse=True)
+        dq, dk, dv = fa._flash_backward_long(q, k, v, out, do, lse)
+
+    out_ref, vjp = jax.vjp(gqa_attention_xla, q, k, v)
+    dq_r, dk_r, dv_r = vjp(do)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                               rtol=5e-4, atol=5e-4)
