@@ -10,18 +10,32 @@ Functional equivalents of the reference MLP zoo (src/model/layers/mlp.py):
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _gelu_auto(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU whose branch follows the compute dtype.
+
+    The reference uses exact (erf) GELU (F.gelu default, mlp.py:253). On TPU
+    XLA expands exact erf into a ~40-op f32 polynomial; on the per-edge
+    kernel-MLP tensors of the vx path that costs ~10 ms/step (measured:
+    bucketed train_step 130 -> 119.5 ms with tanh GELU). The tanh
+    approximation's error (~1e-3 relative) is below bf16 rounding noise, so
+    bf16 activations take the cheap branch while fp32 (the convergence-parity
+    configuration) keeps the exact erf for bit-faithful reference parity.
+    """
+    approx = x.dtype == jnp.bfloat16
+    return nn.gelu(x, approximate=approx)
+
+
 class LinearChannelMLP(nn.Module):
     """Dense stack: features[i] outputs per layer, non-linearity between layers."""
 
     features: Sequence[int]
-    non_linearity: Callable = functools.partial(nn.gelu, approximate=False)
+    non_linearity: Callable = _gelu_auto
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -40,7 +54,7 @@ class ChannelMLP(nn.Module):
     out_channels: int
     hidden_channels: Optional[int] = None
     n_layers: int = 2
-    non_linearity: Callable = functools.partial(nn.gelu, approximate=False)
+    non_linearity: Callable = _gelu_auto
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact

@@ -283,7 +283,14 @@ class StaticTrainer(BaseTrainer):
                 valid = node_mask[keep][..., None]
                 pred_denorm = np.where(valid, pred_denorm, gmean)
                 target_denorm = np.where(valid, target_denorm, gmean)
-            errs = compute_batch_errors(target_denorm[:, None], pred_denorm[:, None],
+            # The reference's static test() hands 3-D [B, N, V] tensors to
+            # compute_batch_errors (static_trainer.py:283-292), whose
+            # [1,1,1,-1] mean/std reshape broadcasts them to [1, B, N, V] —
+            # so its static metric POOLS the whole test batch into one
+            # rel-L1 scalar (batch folded into the "time" axis), then takes
+            # the median over test BATCHES. Replicate exactly (verified by
+            # cross-stack checkpoint evaluation, parity/cross_eval.py).
+            errs = compute_batch_errors(target_denorm[None], pred_denorm[None],
                                         self.metadata)
             all_errors.append(errs)
             # For the example plot, coords/c must come from the same KEPT
@@ -291,7 +298,8 @@ class StaticTrainer(BaseTrainer):
             # wrap-around samples whose mask is False).
             keep_idx = np.flatnonzero(keep)
             last = (batch, pred_denorm, target_denorm, int(keep_idx[-1]))
-        final_metric = compute_final_metric(np.concatenate(all_errors, axis=0))
+        self.last_test_errors = np.concatenate(all_errors, axis=0)
+        final_metric = compute_final_metric(self.last_test_errors)
         self.datarow["relative error (direct)"] = final_metric
         print(f"Relative error: {final_metric}")
         self._plot_test_example(last)

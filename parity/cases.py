@@ -63,9 +63,19 @@ def make_static_fx(path, num_samples=352, num_nodes=1024, seed=0):
 
 
 def make_static_vx(path, num_samples=176, num_nodes=768, seed=1):
-    """Airfoil-like: per-sample coordinates; u determined by (x, c)."""
+    """Airfoil-like: per-sample coordinates; u determined by (x, c).
+
+    Coords are generated directly in [-1, 1]^2 so per_dim_scaling is the
+    identity: the reference's vx path builds radius graphs from RAW coords
+    while its latent queries are scaler-mapped to [-1, 1]
+    (src/trainer/static_trainer.py:90-96 vs data_processor.py:313-319) — on
+    any raw domain != [-1,1]^2 most latent tokens get zero encoder
+    neighbors and reference training plateaus (measured: train loss stuck
+    at 0.41 vs 0.028 from identical init on a [0,1]^2 variant). A [-1,1]^2
+    domain makes that reference quirk harmless so the study isolates
+    framework parity, not the reference's graph-space inconsistency."""
     rng = np.random.default_rng(seed)
-    x = rng.uniform(0, 1, (num_samples, num_nodes, 2)).astype(np.float64)
+    x = rng.uniform(-1, 1, (num_samples, num_nodes, 2)).astype(np.float64)
     c = np.stack([np.stack([_fourier_field(rng, x[s], n_modes=4, decay=1.8)
                             for _ in range(2)], -1)
                   for s in range(num_samples)])
@@ -78,7 +88,7 @@ def make_static_vx(path, num_samples=176, num_nodes=768, seed=1):
     _write_nc(path, u=u_arr, c=c_arr, x=x_arr)
     return dict(
         periodic=False, group_u="u", group_c="c", group_x="x", type="gaot",
-        fix_x=False, domain_x=([0.0, 0.0], [1.0, 1.0]), domain_t=None,
+        fix_x=False, domain_x=([-1.0, -1.0], [1.0, 1.0]), domain_t=None,
         active_variables=[0], chunked_variables=[0], num_variable_chunks=1,
         signed={"u": [True], "c": None},
         names={"u": ["$u$"], "c": ["$c_0$", "$c_1$"]},
