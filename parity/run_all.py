@@ -43,7 +43,55 @@ def run_side(side, case, workdir, timeout, extra=()):
         return json.load(f)
 
 
-def write_report(results, path):
+def parse_gaot_log(path):
+    """gaot-side per-eval losses: 'epoch 10/100 loss 5.719e-02 val 3.511e-02'."""
+    import re
+
+    out = {}
+    if not os.path.exists(path):
+        return out
+    for m in re.finditer(r"epoch (\d+)/\d+ loss ([\d.e+-]+) val ([\d.e+-]+)",
+                         open(path).read()):
+        out[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def parse_ref_log(path):
+    """Reference per-eval losses from the tqdm postfix: the bar updates its
+    postfix at eval epochs, so the LAST ' E/N [..., loss=X, val_loss=Y]'
+    match for each epoch carries the losses as of that epoch."""
+    import re
+
+    out = {}
+    if not os.path.exists(path):
+        return out
+    for m in re.finditer(
+            r"(\d+)/\d+ \[[^\]]*loss=([\d.e+-]+), val_loss=([\d.e+-]+)",
+            open(path).read()):
+        out[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def trajectory_rows(workdir, case):
+    """Per-eval-epoch relative loss deviation between the two sides.
+
+    With identical transplanted init, shuffle=False batch order, and fp32 on
+    both sides, the two frameworks' loss trajectories should track to
+    arithmetic-accumulation level — this is the direct evidence that the
+    TRAINING STACKS are equivalent, independent of how sharply the final
+    test metric amplifies small weight differences."""
+    ref = parse_ref_log(os.path.join(workdir, f"reference_{case}.log"))
+    gao = parse_gaot_log(os.path.join(workdir, f"gaot_tpu_{case}.log"))
+    rows = []
+    for ep in sorted(set(ref) & set(gao)):
+        rl, rv = ref[ep]
+        gl, gv = gao[ep]
+        rows.append((ep, rl, gl, abs(rl - gl) / max(abs(rl), 1e-12),
+                     rv, gv, abs(rv - gv) / max(abs(rv), 1e-12)))
+    return rows
+
+
+def write_report(results, path, workdir=None):
     lines = [
         "# PARITY — convergence parity vs the PyTorch reference",
         "",
@@ -74,6 +122,29 @@ def write_report(results, path):
     lines += [
         "",
         f"Worst absolute gap: **{worst:.2e}** (target ≤ 1e-3).",
+        "",
+        "## Training-trajectory agreement",
+        "",
+        "Same init (weight transplant), same batch order (shuffle=False),",
+        "fp32 both sides → the loss curves must track if the training stacks",
+        "are equivalent. Relative deviation |ref − gaot|/ref per eval epoch:",
+        "",
+        "| case | eval epochs | max Δtrain/train | final train (ref / gaot) |"
+        " max Δval/val |",
+        "|---|---|---|---|---|",
+    ]
+    for case in sorted(results):
+        rows = trajectory_rows(workdir, case) if workdir else []
+        if not rows:
+            lines.append(f"| {case} | — | — | — | — |")
+            continue
+        max_dt = max(r[3] for r in rows)
+        max_dv = max(r[6] for r in rows)
+        last = rows[-1]
+        lines.append(
+            f"| {case} | {len(rows)} | {max_dt:.2e} | "
+            f"{last[1]:.4e} / {last[2]:.4e} | {max_dv:.2e} |")
+    lines += [
         "",
         "## Run details",
         "",
@@ -121,7 +192,8 @@ def main():
                      extra=("--init", init) if os.path.exists(init) else ())
         results[case] = {"gaot_tpu": g, "reference": r}
         # Incremental report after every completed case.
-        write_report(results, os.path.join(REPO, "PARITY.md"))
+        write_report(results, os.path.join(REPO, "PARITY.md"),
+                     workdir=args.workdir)
         with open(os.path.join(REPO, "parity_results.json"), "w") as f:
             json.dump(results, f, indent=1)
 

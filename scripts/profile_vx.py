@@ -78,7 +78,9 @@ def main(batch_size=16, num_nodes=8192, train_size=16, latent=(64, 64)):
     pnd = jnp.asarray(rng.normal(
         size=(batch_size, num_nodes + 64, 1)).astype(np.float32))
 
-    for name, bucketed in (("dense", False), ("bucketed", True)):
+    layouts = {"dense": False, "bucketed": True}
+    sel = os.environ.get("VX_LAYOUTS", "dense,bucketed").split(",")
+    for name, bucketed in ((n, layouts[n]) for n in sel):
         batch, enc, dec, enc_t, dec_t = build(bucketed)
         x = batch["x"]
         node_mask = batch["node_mask"]
@@ -117,18 +119,44 @@ def main(batch_size=16, num_nodes=8192, train_size=16, latent=(64, 64)):
             return optax.apply_updates(p, updates), o, loss
 
         n_var = 2
+        # Backward ablations: grad of each stage in isolation (w.r.t. params
+        # AND the stage input, matching the train step's backward work)
+        # attributes the train_step-minus-forward gap — the dominant vx cost —
+        # to stages.
+        def enc_apply(pp, v):
+            return model.apply(pp, x, v, latent_j, enc, tgraphs=enc_t,
+                               method="encode")
+
+        def dec_apply(pp, r):
+            return model.apply(pp, latent_j, r, x, dec, tgraphs=dec_t,
+                               method="decode")
+
+        enc_grad = jax.grad(lambda pp, v: jnp.sum(enc_apply(pp, v)),
+                            argnums=(0, 1))
+        dec_grad = jax.grad(lambda pp, r: jnp.sum(dec_apply(pp, r)),
+                            argnums=(0, 1))
+        full_grad = jax.grad(
+            lambda pp, v: jnp.sum(model.apply(
+                pp, latent_j, x, v, enc, dec, encoder_tgraphs=enc_t,
+                decoder_tgraphs=dec_t)), argnums=(0, 1))
+
         pnds = [pndata * (1.0 + 0.01 * i) for i in range(n_var)]
+        rnds = [rndata0 * (1 + 0.01 * i) for i in range(n_var)]
         rows = [
             ("enc_fwd", device_timeit(enc_fwd, [(v,) for v in pnds], iters=20)),
-            ("dec_fwd", device_timeit(
-                dec_fwd, [(rndata0 * (1 + 0.01 * i),) for i in range(n_var)],
-                iters=20)),
+            ("dec_fwd", device_timeit(dec_fwd, [(v,) for v in rnds], iters=20)),
             ("full_fwd", device_timeit(full_fwd, [(v,) for v in pnds], iters=20)),
+            ("enc_fwd+bwd", device_timeit(
+                enc_grad, [(params, v) for v in pnds], iters=10)),
+            ("dec_fwd+bwd", device_timeit(
+                dec_grad, [(params, v) for v in rnds], iters=10)),
+            ("full_fwd+bwd", device_timeit(
+                full_grad, [(params, v) for v in pnds], iters=10)),
             ("train_step", device_timeit(
                 step, [(params, opt_state, v) for v in pnds], iters=10)),
         ]
         for label, secs in rows:
-            print(f"{name:9s} {label:10s} {secs * 1e3:8.2f} ms")
+            print(f"{name:9s} {label:12s} {secs * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
