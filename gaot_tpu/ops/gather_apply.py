@@ -46,12 +46,14 @@ def _fwd(coef, f, indices, edge_pos, tquery, tmask):
         # Leading-axis bulk-row gather with a materialization boundary (the
         # nbc path's discipline): XLA otherwise fuses the gather into its
         # consumer and serializes it (~33 GiB/s measured on the vx decoder
-        # backward vs ~300 GiB/s as a row gather). The gathered rows are
+        # backward vs ~300 GiB/s as a row gather). K-major so the Pallas
+        # reduce consumer streams the rows in natural layout (with query-
+        # folding for the narrow W = C lane dim). The gathered rows are
         # SAVED for the backward — d_coef re-reads them sequentially instead
         # of re-gathering at random-row bandwidth.
-        gath = _bulk_gather(f, indices.reshape(-1)).reshape(indices.shape + f.shape[-1:])
-        out = jnp.sum(coef * gath, axis=-2)
-        return out, (coef, gath, edge_pos, tquery, tmask)
+        gath_km = _bulk_gather(f, indices.T)          # [K, Q, C]
+        out = _mulred_k_dispatch(jnp.swapaxes(coef, 0, 1), gath_km, 1)
+        return out, (coef, gath_km, edge_pos, tquery, tmask)
     out = _forward(coef, f, indices)
     return out, (coef, f, indices, edge_pos, tquery, tmask)
 
@@ -59,21 +61,19 @@ def _fwd(coef, f, indices, edge_pos, tquery, tmask):
 def _bwd(res, dout):
     zeros_i = lambda x: jnp.zeros_like(x)  # integer/bool cotangents are inert
     if len(res) == 5:                      # flat (vx-flattened) layout
-        coef, gath, edge_pos, tquery, tmask = res
-        f_dtype = gath.dtype
+        coef, gath_km, edge_pos, tquery, tmask = res     # gath_km: [K, Q, C]
+        f_dtype = gath_km.dtype
         c_dim = coef.shape[-1]
         # Both grads are cast back to the bf16 feature/param dtypes anyway,
         # so run the backward gathers/products in the feature dtype — halves
         # the dominant gather traffic when the loss upcasts dout to fp32.
         dout = dout.astype(f_dtype)
-        d_coef = (dout[:, None, :] * gath).astype(coef.dtype)
+        d_coef = jnp.swapaxes(
+            _mulred_b_dispatch(gath_km, dout, 1, c_dim), 0, 1).astype(coef.dtype)
         coef_flat = coef.astype(f_dtype).reshape(-1, c_dim)
-        cg = _bulk_gather(coef_flat, edge_pos.reshape(-1)).reshape(
-            edge_pos.shape + (c_dim,))                    # [N, Kt, C]
-        dg = _bulk_gather(dout, tquery.reshape(-1)).reshape(
-            tquery.shape + (c_dim,))                      # [N, Kt, C]
-        d_f = jnp.sum(jnp.where(tmask[..., None], cg * dg, 0),
-                      axis=-2).astype(f_dtype)
+        cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt,N,C]
+        dg_km = _bulk_gather(dout, tquery.T)              # [Kt, N, C]
+        d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
         return (d_coef, d_f, jnp.zeros(coef.shape[:2], jnp.int32),
                 zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 

@@ -30,6 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BLOCK_BYTES = 1 << 20
 
 
+def _fold_r(q: int, b: int, w: int) -> int:
+    """Query-folding factor for narrow (lane-starved) shapes.
+
+    The kernels want the lane dim W = b*c to be a multiple of 128. The
+    b == 1 case (vx-flattened batches: W = C = 64) is elementwise in (q, w)
+    for multiply_reduce_k and, with b == 1, for multiply_reduce_b too — so r
+    adjacent queries can be viewed as ONE row of r*W lanes with identical
+    semantics. Returns the fold factor (1 = no fold)."""
+    if b != 1 or w >= 128 or w < 1 or 128 % w != 0:
+        return 1
+    r = 128 // w
+    return r if q % r == 0 else 1
+
+
 def _tile_q(q: int, w: int, itemsize: int) -> int:
     """Largest q-tile that divides q, is a multiple of 8, and fits the block
     budget. Returns 0 if no valid tile exists (caller falls back to XLA)."""
@@ -47,9 +61,13 @@ def _tile_q(q: int, w: int, itemsize: int) -> int:
 
 
 def supported(q: int, b: int, c: int, itemsize: int = 2) -> bool:
-    """Shapes the kernels handle: lane dim W=b*c ≥ 128-friendly and a valid
+    """Shapes the kernels handle: lane dim W=b*c a multiple of 128 — either
+    directly or after query-folding (b == 1, _fold_r) — and a valid
     q-tiling. (Small CPU-test shapes fall back to the einsum path.)"""
-    return (b * c) % 128 == 0 and c % 8 == 0 and _tile_q(q, b * c, itemsize) > 0
+    w = b * c
+    r = _fold_r(q, b, w)
+    return ((r * w) % 128 == 0 and c % 8 == 0
+            and _tile_q(q // r, r * w, itemsize) > 0)
 
 
 def _mulred_k_kernel(gath_ref, coef_ref, o_ref, acc_ref, *, b):
@@ -76,6 +94,13 @@ def multiply_reduce_k(coef_km: jnp.ndarray, gath_km: jnp.ndarray,
     """
     kx, qx, cx = coef_km.shape
     w = gath_km.shape[-1]
+    r = _fold_r(qx, b, w)
+    if r > 1:
+        # Narrow-W (vx) shapes: fold r adjacent queries into one 128-lane
+        # row — exact, since the reduce is over k and elementwise in (q, w).
+        out = multiply_reduce_k(coef_km.reshape(kx, qx // r, r * cx),
+                                gath_km.reshape(kx, qx // r, r * w), b)
+        return out.reshape(qx, w)
     tq = _tile_q(qx, w, gath_km.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_mulred_k_kernel, b=b),
@@ -110,6 +135,13 @@ def multiply_reduce_b(gath_km: jnp.ndarray, dout: jnp.ndarray,
     gath_km: [K, Q, W]; dout: [Q, W] with W = b*c. Returns [K, Q, C].
     """
     kx, qx, w = gath_km.shape
+    r = _fold_r(qx, b, w)
+    if r > 1:
+        # b == 1 makes the b-sum a no-op, so this too is elementwise in
+        # (q, w) and query-folding is exact (see multiply_reduce_k).
+        out = multiply_reduce_b(gath_km.reshape(kx, qx // r, r * w),
+                                dout.reshape(qx // r, r * w), b, r * c)
+        return out.reshape(kx, qx, c)
     tq = _tile_q(qx, w, gath_km.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_mulred_b_kernel, b=b, c=c),

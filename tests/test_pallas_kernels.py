@@ -77,6 +77,37 @@ def test_multiply_reduce_k_matches_einsum():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_multiply_reduce_k_query_folding():
+    """Narrow-W (vx: b=1, C=64) shapes fold r=128//W adjacent queries into
+    one 128-lane row — must be exact vs the einsum reference."""
+    from gaot_tpu.ops.pallas.multiply_reduce import multiply_reduce_k, supported
+
+    rng = np.random.default_rng(5)
+    k, q, b, c = 5, 32, 1, 64
+    assert supported(q, b, c, 4)
+    coef_km = jnp.asarray(rng.normal(size=(k, q, c)).astype(np.float32))
+    gath_km = jnp.asarray(rng.normal(size=(k, q, c)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = multiply_reduce_k(coef_km, gath_km, b)
+    want = jnp.einsum("kqc,kqc->qc", coef_km, gath_km)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multiply_reduce_b_query_folding():
+    from gaot_tpu.ops.pallas.multiply_reduce import multiply_reduce_b
+
+    rng = np.random.default_rng(6)
+    k, q, b, c = 3, 32, 1, 64
+    gath_km = jnp.asarray(rng.normal(size=(k, q, c)).astype(np.float32))
+    dout = jnp.asarray(rng.normal(size=(q, c)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = multiply_reduce_b(gath_km, dout, b, c)
+    want = gath_km * dout[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_multiply_reduce_b_matches_einsum():
     from gaot_tpu.ops.pallas.multiply_reduce import multiply_reduce_b
 
