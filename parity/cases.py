@@ -255,6 +255,19 @@ def build_config(case_name: str, data_dir: str, workdir: str, side: str) -> dict
     if side == "ref":
         cfg["setup"]["device"] = "cpu"
         cfg["setup"]["dtype"] = "torch.float32"
+        if case_name == "static_vx":
+            # The reference model defaults to precompute_edges=False and its
+            # trainer never overrides it — in vx mode the model then IGNORES
+            # the per-sample graphs its own GraphBuilder precomputed,
+            # recomputes neighbors in-forward, and caches them keyed ONLY by
+            # tensor shape (src/model/layers/magno.py:177-186, 264-271): every
+            # same-shaped batch after the first silently reuses batch 0's
+            # graphs. gaot_tpu always uses the true per-sample graphs, so the
+            # parity study runs the reference in its intended precomputed-
+            # graph mode. Verified: with stale-graph caching the reference
+            # plateaus at train loss 0.43 with rising val loss; both models
+            # agree to ~1e-6 at init once the reference sees the real graphs.
+            cfg["model"]["args"]["magno"]["precompute_edges"] = True
     else:
         cfg["setup"]["device"] = "cpu"
         cfg["setup"]["dtype"] = "float32"
