@@ -158,6 +158,23 @@ def write_report(results, path, workdir=None):
                          f"{r['fit_time_s']:.0f} |")
     lines += [
         "",
+        "## Reference quirks the study controls for",
+        "",
+        "- **static_vx runs the reference with `precompute_edges=True`.** The",
+        "  reference model defaults to `precompute_edges=False` and its trainer",
+        "  never overrides it; in vx mode the model then ignores the per-sample",
+        "  graphs its own GraphBuilder precomputed, recomputes neighbors inside",
+        "  forward, and caches them keyed only by tensor shape",
+        "  (src/model/layers/magno.py:177-186, 264-271) — every same-shaped",
+        "  batch after the first silently trains on batch 0's graphs. With the",
+        "  stale-graph default the reference plateaus (train 0.43, val rising);",
+        "  in its intended precomputed-graph mode the two stacks agree to ~3e-6",
+        "  per-batch from transplanted weights (parity/cases.py:255).",
+        "- **static_vx coords are generated in [-1,1]²** so the reference's",
+        "  graph-space inconsistency (radius graphs from raw coords vs",
+        "  scaler-mapped latent queries) is harmless — see",
+        "  parity/cases.py::make_static_vx.",
+        "",
         "Reproduce: `python parity/run_all.py` (regenerates datasets,",
         "reruns both sides; cached per-side JSONs in the workdir make it",
         "resumable).",
