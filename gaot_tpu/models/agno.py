@@ -76,7 +76,8 @@ class AGNO(nn.Module):
                  x: Optional[jnp.ndarray] = None,
                  f_y: Optional[jnp.ndarray] = None,
                  weights: Optional[jnp.ndarray] = None,
-                 tgraph: Optional[TransposeGraph] = None) -> jnp.ndarray:
+                 tgraph: Optional[TransposeGraph] = None,
+                 num_samples: int = 1) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -94,7 +95,7 @@ class AGNO(nn.Module):
         if x is None:
             x = y
         if isinstance(graph, BucketedGraph):
-            return self._call_bucketed(y, graph, x, f_y, weights)
+            return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
         indices, mask = graph.indices, graph.mask
 
         rep_coords = y[indices]                                  # [Q, K, d1]
@@ -132,17 +133,23 @@ class AGNO(nn.Module):
             # Scatter-free path: fold attention / mean weights / quadrature
             # weights and the padding mask into a per-edge coefficient, then
             # one gather-multiply-reduce with a transpose-graph backward.
+            # All folds cast to the kernel dtype: attention/quadrature
+            # weights derive from f32 coords and would otherwise promote the
+            # whole [·, K, C] coef stream (and every downstream gather,
+            # reshape, and Pallas operand) to f32 — measured ~17 ms/step of
+            # pure layout copies on the vx flagship.
             coef = kernel
             if attention is not None:
-                coef = coef * attention[..., None]
+                coef = coef * attention[..., None].astype(coef.dtype)
             if weights is not None:
-                coef = coef * weights[indices][..., None]
+                coef = coef * weights[indices][..., None].astype(coef.dtype)
             elif attention is None:  # mean reduce
                 counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-                coef = coef / counts[..., None]
+                coef = coef / counts[..., None].astype(coef.dtype)
             coef = jnp.where(mask[..., None] if coef.ndim == 3
                              else mask[None, ..., None], coef, 0)
-            return apply_graph_transform(coef, f_y, graph, tgraph)
+            return apply_graph_transform(coef, f_y, graph, tgraph,
+                                         num_samples=num_samples)
 
         out = kernel
         if multiply_f:
@@ -150,11 +157,11 @@ class AGNO(nn.Module):
                 out[None] * in_features                          # [B, Q, K, c]
 
         if attention is not None:
-            att = attention[..., None]
+            att = attention[..., None].astype(out.dtype)
             out = out * att if out.ndim == 3 else out * att[None]
 
         if weights is not None:
-            nbr_w = weights[indices][..., None]                  # [Q, K, 1]
+            nbr_w = weights[indices][..., None].astype(out.dtype)  # [Q, K, 1]
             out = out * (nbr_w if out.ndim == 3 else nbr_w[None])
             reduction = "sum"
         else:
@@ -183,18 +190,21 @@ class AGNO(nn.Module):
                                   rep_coords.shape[:-1] + (x.shape[-1],))
         agg = jnp.concatenate([rep_coords, self_b], axis=-1)
         coef = self.channel_mlp(agg)                             # [Qb, Kb, C]
+        # Casts keep coef in the kernel dtype — see the tgraph branch of
+        # __call__ for the measured cost of letting f32 weights promote it.
         if attention is not None:
-            coef = coef * attention[..., None]
+            coef = coef * attention[..., None].astype(coef.dtype)
         if weights is not None:
-            coef = coef * weights[indices][..., None]
+            coef = coef * weights[indices][..., None].astype(coef.dtype)
         elif attention is None:  # mean reduce
             counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-            coef = coef / counts[..., None]
+            coef = coef / counts[..., None].astype(coef.dtype)
         return jnp.where(mask[..., None], coef, 0)
 
     def _call_bucketed(self, y: jnp.ndarray, bg: BucketedGraph,
                        x: jnp.ndarray, f_y: Optional[jnp.ndarray],
-                       weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+                       weights: Optional[jnp.ndarray],
+                       num_samples: int = 1) -> jnp.ndarray:
         """Integral transform over a degree-bucketed graph (ops/padding.py).
 
         x must be the bucket-concatenated query coords; the result is in the
@@ -222,5 +232,6 @@ class AGNO(nn.Module):
                 parts.append(self.__call__(y, graph, x=xs, f_y=f_y,
                                            weights=weights))
         if combined:
-            return apply_bucketed_graph_transform(parts, f_y, bg)
+            return apply_bucketed_graph_transform(parts, f_y, bg,
+                                                  num_samples=num_samples)
         return jnp.concatenate(parts, axis=-2)

@@ -214,7 +214,7 @@ class _MAGNOBase(nn.Module):
             src_proc, dst_proc = src_coords, dst_coords
 
         out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
-                        tgraph=tgraph)
+                        tgraph=tgraph, num_samples=num_samples)
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples)
@@ -250,7 +250,8 @@ class _MAGNOBase(nn.Module):
         dropped = bg._replace(buckets=tuple(
             self._drop_edges(g, training) for g in bg.buckets))
 
-        cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src)
+        cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
+                        num_samples=num_samples)
 
         if cfg.use_geoembed:
             # One geoembed call over all buckets: the statistical features

@@ -19,8 +19,11 @@ Shapes: f is [B, N, C] (fx batched) or [N, C] (vx-flattened); coef is
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .padding import TransposeGraph
 
@@ -34,14 +37,15 @@ def _forward(coef, f, indices):
     return jnp.sum(c * gathered, axis=-2)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def gather_multiply_reduce(coef: jnp.ndarray, f: jnp.ndarray,
                            indices: jnp.ndarray, edge_pos: jnp.ndarray,
-                           tquery: jnp.ndarray, tmask: jnp.ndarray) -> jnp.ndarray:
-    return _fwd(coef, f, indices, edge_pos, tquery, tmask)[0]
+                           tquery: jnp.ndarray, tmask: jnp.ndarray,
+                           num_samples: int = 1) -> jnp.ndarray:
+    return _fwd(coef, f, indices, edge_pos, tquery, tmask, num_samples)[0]
 
 
-def _fwd(coef, f, indices, edge_pos, tquery, tmask):
+def _fwd(coef, f, indices, edge_pos, tquery, tmask, num_samples=1):
     if f.ndim == 2:
         # Leading-axis bulk-row gather with a materialization boundary (the
         # nbc path's discipline): XLA otherwise fuses the gather into its
@@ -58,7 +62,7 @@ def _fwd(coef, f, indices, edge_pos, tquery, tmask):
     return out, (coef, f, indices, edge_pos, tquery, tmask)
 
 
-def _bwd(res, dout):
+def _bwd(num_samples, res, dout):
     zeros_i = lambda x: jnp.zeros_like(x)  # integer/bool cotangents are inert
     if len(res) == 5:                      # flat (vx-flattened) layout
         coef, gath_km, edge_pos, tquery, tmask = res     # gath_km: [K, Q, C]
@@ -71,9 +75,17 @@ def _bwd(res, dout):
         d_coef = jnp.swapaxes(
             _mulred_b_dispatch(gath_km, dout, 1, c_dim), 0, 1).astype(coef.dtype)
         coef_flat = coef.astype(f_dtype).reshape(-1, c_dim)
-        cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt,N,C]
-        dg_km = _bulk_gather(dout, tquery.T)              # [Kt, N, C]
-        d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
+        if (num_samples > 1
+                and coef_flat.shape[0] % num_samples == 0
+                and dout.shape[0] % num_samples == 0
+                and tmask.shape[0] % num_samples == 0):
+            d_f = _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask,
+                                num_samples).astype(f_dtype)
+        else:
+            cg = jnp.where(tmask.T[..., None],
+                           _bulk_gather(coef_flat, edge_pos.T), 0)  # [Kt,N,C]
+            dg_km = _bulk_gather(dout, tquery.T)          # [Kt, N, C]
+            d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
         return (d_coef, d_f, jnp.zeros(coef.shape[:2], jnp.int32),
                 zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 
@@ -111,6 +123,41 @@ def _bulk_gather(f2d, indices):
     slow element-wise form.
     """
     return jax.lax.optimization_barrier(f2d[indices])
+
+
+def _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask, b):
+    """d_f for the vx-flattened layout as a lax.scan over samples.
+
+    Narrow rows (C ~ 64 → 128 B) make transpose gathers source-footprint
+    bound: XLA VMEM-pins gather sources only up to ~17 MB, and a flat
+    [B·Q·K, C] coef (134 MB on the airfoil decoder) gathers from HBM at
+    ~8.5 GB/s (measured 24 ms/step). vx graphs are per-sample block
+    structured by construction (models/magno.py::flatten_vx_graph offsets),
+    so scanning over samples turns the source into an ~8 MB slab per step
+    that XLA keeps on-chip — measured 18.5 → 5.3 ms on the isolated gather.
+    """
+    e, c = coef_flat.shape
+    q = dout.shape[0]
+    n, kt = tmask.shape
+    es, qs, ns = e // b, q // b, n // b
+    # Localize the per-sample-offset transpose indices (flatten_vx_tgraph);
+    # transpose-padded slots may hold 0 globally → clamp after subtracting.
+    off_e = (jnp.arange(b, dtype=edge_pos.dtype) * es)[:, None, None]
+    off_q = (jnp.arange(b, dtype=tquery.dtype) * qs)[:, None, None]
+    ep = jnp.clip(edge_pos.reshape(b, ns, kt) - off_e, 0, es - 1)
+    tq = jnp.clip(tquery.reshape(b, ns, kt) - off_q, 0, qs - 1)
+    tm = tmask.reshape(b, ns, kt)
+
+    def body(_, args):
+        cs, ds, epi, tqi, tmi = args
+        cg = jnp.where(tmi.T[..., None], _bulk_gather(cs, epi.T), 0)
+        dg = _bulk_gather(ds, tqi.T)                      # [Kt, Ns, C]
+        return None, _mulred_k_dispatch(cg, dg, 1)
+
+    _, df = jax.lax.scan(
+        body, None,
+        (coef_flat.reshape(b, es, c), dout.reshape(b, qs, c), ep, tq, tm))
+    return df.reshape(n, c)
 
 
 def _pallas_consumers_ok(coef, f, tquery):
@@ -188,14 +235,17 @@ def _nbc_bwd(res, dout):
         d_coef = jnp.swapaxes(
             multiply_reduce_b(gath, dout2, b, c), 0, 1).astype(coef.dtype)
         # d_f[n,b,c] = Σ_j coef_flat[edge_pos[n,j],c] · dout[query[n,j],b,c]
+        # (coef gather barriered — see _bwd — else XLA serializes it)
         cg = jnp.where(tmask.T[..., None],
-                       coef.reshape(-1, c)[edge_pos.T], 0)        # [Kt, N, C]
+                       _bulk_gather(coef.reshape(-1, c), edge_pos.T),
+                       0)                                         # [Kt, N, C]
         dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
         d_f = multiply_reduce_k(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
     else:
         d_coef = jnp.einsum("qbc,qkbc->qkc", dout, gath).astype(coef.dtype)
         cg = jnp.where(tmask[..., None],
-                       coef.reshape(-1, c)[edge_pos], 0)          # [N,Kt,C]
+                       _bulk_gather(coef.reshape(-1, c), edge_pos),
+                       0)                                         # [N,Kt,C]
         dg = _bulk_gather(dout.reshape(q, b * c), tquery)         # [N,Kt,B*C]
         d_f = jnp.einsum("nkc,nkbc->nbc", cg,
                          dg.reshape(n, -1, b, c)).astype(f_dtype)
@@ -236,9 +286,9 @@ def _mulred_b_dispatch(gath_km: jnp.ndarray, dout2: jnp.ndarray,
     return jnp.einsum("kqbc,qbc->kqc", gath, dout2.reshape(qx, b, c))
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
-                                    tmask):
+                                    tmask, num_samples: int = 1):
     """Gather-multiply-reduce over a degree-bucketed graph, node-leading.
 
     coefs: per-bucket [Qb, Kb, C] shared coefficients (padded edges zeroed);
@@ -253,10 +303,11 @@ def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
     the dense layout's (per-bucket transposes would instead accumulate a
     full [N, B·C] d_f per bucket, which erases the win — measured on v5e).
     """
-    return _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask)[0]
+    return _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask,
+                         num_samples)[0]
 
 
-def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask):
+def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask, num_samples=1):
     """Forward saving the per-bucket gathered rows for d_coef (see _nbc_fwd)."""
     n, b, c = f.shape
     f2d = f.reshape(n, b * c)
@@ -269,7 +320,7 @@ def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask):
     return out, (coefs, tuple(gaths), edge_pos, tquery, tmask)
 
 
-def _bucketed_bwd(res, dout):
+def _bucketed_bwd(num_samples, res, dout):
     coefs, gaths, edge_pos, tquery, tmask = res
     n = tmask.shape[0]
     c = coefs[0].shape[-1]
@@ -287,15 +338,23 @@ def _bucketed_bwd(res, dout):
             0, 1).astype(coef.dtype))
         off += qb
 
-    # Gather the per-edge coefficients in the feature dtype: attention
-    # weights computed from f32 coords promote coef to f32, which doubles
-    # this latency-bound row gather's traffic (measured f32 on the encoder
-    # d_f pass).
-    coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
-                                axis=0).astype(f_dtype)
-    cg = jnp.where(tmask.T[..., None], coef_flat[edge_pos.T], 0)  # [Kt, N, C]
-    dg_km = _bulk_gather(dout2, tquery.T)                         # [Kt, N, W]
-    d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
+    scannable = (num_samples > 1 and b == 1
+                 and n % num_samples == 0
+                 and all(cf.shape[0] % num_samples == 0 for cf in coefs))
+    if scannable:
+        d_f = _bucketed_df_scan(
+            [cf.astype(f_dtype) for cf in coefs], dout2, edge_pos, tquery,
+            tmask, num_samples).reshape(n, b, c).astype(f_dtype)
+    else:
+        # Gather the per-edge coefficients in the feature dtype: attention
+        # weights computed from f32 coords promote coef to f32, which
+        # doubles this latency-bound row gather's traffic.
+        coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
+                                    axis=0).astype(f_dtype)
+        cg = jnp.where(tmask.T[..., None],
+                       _bulk_gather(coef_flat, edge_pos.T), 0)    # [Kt, N, C]
+        dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
+        d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
 
     zeros_i = lambda x: jnp.zeros_like(x)
     return (tuple(d_coefs), d_f,
@@ -303,24 +362,79 @@ def _bucketed_bwd(res, dout):
             zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 
 
+def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
+    """d_f for the vx-flattened bucketed layout as a lax.scan over samples.
+
+    Same source-footprint argument as _flat_df_scan. The flat bucketed
+    layout is bucket-major, sample-minor (models/magno.py::
+    flatten_vx_bucketed), so each sample's edges/rows are nb contiguous
+    blocks — static per-bucket reshapes expose them as scan xs, and the
+    global transpose indices un-remap to the per-sample concat space with
+    nb cheap range selects.
+    """
+    c = coefs[0].shape[-1]
+    w = dout2.shape[-1]
+    n, kt = tmask.shape
+    ns = n // s
+    rs = [cf.shape[0] // s for cf in coefs]       # per-sample rows / bucket
+    sz = [r * cf.shape[1] for r, cf in zip(rs, coefs)]  # per-sample edges
+    e_base = np.concatenate([[0], np.cumsum(sz)]).astype(np.int64)
+    r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
+    r_tot, e_tot = int(r_base[-1]), int(e_base[-1])
+
+    # Per-bucket slabs with leading sample dim (static slice + reshape).
+    coef_xs = tuple(cf.reshape(s, sz_j, c) for cf, sz_j in zip(coefs, sz))
+    dout_xs = tuple(
+        dout2[s * int(r_base[j]):s * int(r_base[j + 1])].reshape(s, rs[j], w)
+        for j in range(len(rs)))
+
+    def unmap(pos, base, sizes):
+        """Global bucket-major position → per-sample concat position."""
+        out = jnp.zeros_like(pos)
+        samp = jnp.arange(s, dtype=pos.dtype).reshape(s, 1, 1)
+        for j in range(len(sizes)):
+            lo = s * int(base[j])
+            sel = (pos >= lo) & (pos < lo + s * int(sizes[j]))
+            out = jnp.where(sel, pos - lo - samp * int(sizes[j])
+                            + int(base[j]), out)
+        return jnp.clip(out, 0, int(base[-1]) - 1)
+
+    ep = unmap(edge_pos.reshape(s, ns, kt), e_base, sz)
+    tq = unmap(tquery.reshape(s, ns, kt), r_base, rs)
+    tm = tmask.reshape(s, ns, kt)
+
+    def body(_, args):
+        cxs, dxs, epi, tqi, tmi = args
+        slab = jnp.concatenate(list(cxs), axis=0)                # [Es, C]
+        drows = jnp.concatenate(list(dxs), axis=0)               # [Rt, W]
+        cg = jnp.where(tmi.T[..., None], _bulk_gather(slab, epi.T), 0)
+        dg = _bulk_gather(drows, tqi.T)                          # [Kt, Ns, W]
+        return None, _mulred_k_dispatch(cg, dg, 1)
+
+    _, df = jax.lax.scan(body, None, (coef_xs, dout_xs, ep, tq, tm))
+    return df.reshape(n, c)
+
+
 bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
 
 
-def apply_bucketed_graph_transform(coefs, f, bg) -> jnp.ndarray:
+def apply_bucketed_graph_transform(coefs, f, bg,
+                                   num_samples: int = 1) -> jnp.ndarray:
     """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C] (fx batched, shared
     coefficients) or [N, C] (vx-flattened, per-edge coefficients); bg:
     BucketedGraph with a combined tgraph. Returns [B, R, C] (or [R, C]) in
-    bucket-concatenated row order."""
+    bucket-concatenated row order. num_samples > 1 (vx) enables the
+    per-sample-slab backward scan."""
     if f.ndim == 2:
         out = bucketed_gather_multiply_reduce(
             tuple(coefs), f[:, None, :],
             tuple(g.indices for g in bg.buckets),
-            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
+            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
         return out[:, 0, :]
     out = bucketed_gather_multiply_reduce(
         tuple(coefs), jnp.swapaxes(f, 0, 1),
         tuple(g.indices for g in bg.buckets),
-        bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
+        bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
     return jnp.swapaxes(out, 0, 1)
 
 
@@ -352,11 +466,13 @@ def _unpermute_bwd(res, g):
 unpermute_rows.defvjp(_unpermute_fwd, _unpermute_bwd)
 
 
-def apply_graph_transform(coef, f, graph, tgraph: TransposeGraph = None):
+def apply_graph_transform(coef, f, graph, tgraph: TransposeGraph = None,
+                          num_samples: int = 1):
     """Dispatch the gather-multiply-reduce to the fastest available path.
 
     - no transpose graph → plain XLA (autodiff backward = scatter-add);
-    - f [N, C] (vx-flattened) or batched coef → flat custom VJP;
+    - f [N, C] (vx-flattened) or batched coef → flat custom VJP
+      (num_samples > 1 enables the per-sample-slab backward scan);
     - f [B, N, C] with shared coef [Q, K, C] → node-leading-layout custom
       VJP (fastest: bulk-row gathers forward and backward).
     """
@@ -368,4 +484,4 @@ def apply_graph_transform(coef, f, graph, tgraph: TransposeGraph = None):
             tgraph.query, tgraph.mask)                    # [Q, B, C]
         return jnp.swapaxes(out, 0, 1)                    # [B, Q, C]
     return gather_multiply_reduce(coef, f, graph.indices, tgraph.edge_pos,
-                                  tgraph.query, tgraph.mask)
+                                  tgraph.query, tgraph.mask, num_samples)

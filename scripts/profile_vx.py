@@ -143,20 +143,19 @@ def main(batch_size=16, num_nodes=8192, train_size=16, latent=(64, 64)):
         pnds = [pndata * (1.0 + 0.01 * i) for i in range(n_var)]
         rnds = [rndata0 * (1 + 0.01 * i) for i in range(n_var)]
         rows = [
-            ("enc_fwd", device_timeit(enc_fwd, [(v,) for v in pnds], iters=20)),
-            ("dec_fwd", device_timeit(dec_fwd, [(v,) for v in rnds], iters=20)),
-            ("full_fwd", device_timeit(full_fwd, [(v,) for v in pnds], iters=20)),
-            ("enc_fwd+bwd", device_timeit(
-                enc_grad, [(params, v) for v in pnds], iters=10)),
-            ("dec_fwd+bwd", device_timeit(
-                dec_grad, [(params, v) for v in rnds], iters=10)),
-            ("full_fwd+bwd", device_timeit(
-                full_grad, [(params, v) for v in pnds], iters=10)),
-            ("train_step", device_timeit(
-                step, [(params, opt_state, v) for v in pnds], iters=10)),
+            ("enc_fwd", enc_fwd, [(v,) for v in pnds], 20),
+            ("dec_fwd", dec_fwd, [(v,) for v in rnds], 20),
+            ("full_fwd", full_fwd, [(v,) for v in pnds], 20),
+            ("enc_fwd+bwd", enc_grad, [(params, v) for v in pnds], 10),
+            ("dec_fwd+bwd", dec_grad, [(params, v) for v in rnds], 10),
+            ("full_fwd+bwd", full_grad, [(params, v) for v in pnds], 10),
+            ("train_step", step, [(params, opt_state, v) for v in pnds], 10),
         ]
-        for label, secs in rows:
-            print(f"{name:9s} {label:12s} {secs * 1e3:8.2f} ms")
+        # Print each row as it lands: compile time on a contended host can
+        # dominate, and partial attributions are still useful.
+        for label, fn, argsets, iters in rows:
+            secs = device_timeit(fn, argsets, iters=iters)
+            print(f"{name:9s} {label:12s} {secs * 1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

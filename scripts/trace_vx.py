@@ -69,10 +69,15 @@ def report(trace_dir, top=35):
         by_cat[r[i_cat]] = by_cat.get(r[i_cat], 0) + (r[i_time] or 0)
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:28s} {t / 1e3:9.2f} ms  {100 * t / total:5.1f}%")
+    i_expr = next((i for i, c in enumerate(cols)
+                   if "expression" in c.lower() and i != i_name), None)
     print("\ntop ops:")
     for r in rows[:top]:
         name = str(r[i_name])[:110]
+        expr = str(r[i_expr])[:240] if i_expr is not None else ""
         print(f"  {(r[i_time] or 0) / 1e3:8.2f} ms  {r[i_cat]:<22s} {name}")
+        if expr and expr != name:
+            print(f"             {expr}")
 
 
 if __name__ == "__main__":

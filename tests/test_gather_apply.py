@@ -80,6 +80,55 @@ def test_grads_unbatched_f():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_flat_df_scan_matches_combined():
+    """The per-sample-slab backward scan (num_samples > 1) must produce the
+    same d_f/d_coef as the combined single-pass backward: vx flat batches are
+    per-sample block structured (models/magno.py::flatten_vx_graph), which
+    the scan exploits to keep each gather source VMEM-small."""
+    from gaot_tpu.models.magno import flatten_vx_graph, flatten_vx_tgraph
+    from gaot_tpu.ops.padding import repad, repad_tgraph, stack_graphs
+
+    rng = np.random.default_rng(7)
+    b, n, q, c = 4, 40, 16, 8
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (q, 2))
+    gs, ts = [], []
+    for i in range(b):
+        g = pad_csr(*radius_search(srcs[i], dst, 0.5), pad_multiple=4)
+        gs.append(g)
+    k = max(g.k for g in gs)
+    gs = [repad(g, k) for g in gs]
+    ts = [transpose_graph(g, n) for g in gs]
+    kt = max(t.edge_pos.shape[-1] for t in ts)
+    ts = [repad_tgraph(t, kt) for t in ts]
+    stacked = stack_graphs(gs)
+    t_st = type(ts[0])(np.stack([t.edge_pos for t in ts]),
+                       np.stack([t.query for t in ts]),
+                       np.stack([t.mask for t in ts]))
+    flat_g = flatten_vx_graph(
+        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
+    flat_t = flatten_vx_tgraph(
+        type(ts[0])(jnp.asarray(t_st.edge_pos), jnp.asarray(t_st.query),
+                    jnp.asarray(t_st.mask)), q, k)
+    coef = jnp.asarray(rng.normal(size=(b * q, k, c)).astype(np.float32))
+    coef = coef * flat_g.mask[..., None]
+    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
+
+    def loss(ns):
+        def inner(coef, f):
+            return jnp.sum(gather_multiply_reduce(
+                coef, f, flat_g.indices, flat_t.edge_pos, flat_t.query,
+                flat_t.mask, ns) ** 2)
+        return inner
+
+    gc1, gf1 = jax.grad(loss(1), argnums=(0, 1))(coef, f)
+    gcb, gfb = jax.grad(loss(b), argnums=(0, 1))(coef, f)
+    np.testing.assert_allclose(np.asarray(gfb), np.asarray(gf1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gcb), np.asarray(gc1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_jit_and_vmap_compatible():
     g, t, coef, f = _setup()
     out = jax.jit(lambda c, x: apply_graph_transform(c, x, g, t))(coef, f)
