@@ -397,9 +397,11 @@ def main():
         jax.block_until_ready(losses)
         log(f"warmup (1 epoch of {k} steps incl. compile): "
             f"{time.perf_counter() - t0:.2f}s")
-        ep_flops = compiled_flops(epoch_fn, params, opt_state, key,
-                                  make_epoch_indices(host_rng, k))
-        flops_per_step = ep_flops / k if ep_flops else None
+        # FLOPs from the PER-STEP program: XLA's cost analysis counts a
+        # while-loop body once regardless of trip count, so the epoch-scan
+        # program under-reports by ~k x (measured 0.67 vs ~30 GF/sample).
+        flops_per_step = compiled_flops(train_step, params, opt_state, key,
+                                        pndata, target)
 
         epochs = max(1, iters // k)
         t0 = time.perf_counter()

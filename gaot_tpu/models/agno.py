@@ -77,7 +77,8 @@ class AGNO(nn.Module):
                  f_y: Optional[jnp.ndarray] = None,
                  weights: Optional[jnp.ndarray] = None,
                  tgraph: Optional[TransposeGraph] = None,
-                 num_samples: int = 1) -> jnp.ndarray:
+                 num_samples: int = 1,
+                 rep_coords: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -98,7 +99,8 @@ class AGNO(nn.Module):
             return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
         indices, mask = graph.indices, graph.mask
 
-        rep_coords = y[indices]                                  # [Q, K, d1]
+        if rep_coords is None:
+            rep_coords = y[indices]                              # [Q, K, d1]
         self_coords = x[:, None, :]                              # [Q, 1, d2]
 
         batched = f_y is not None and f_y.ndim == 3

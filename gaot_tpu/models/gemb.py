@@ -74,13 +74,18 @@ def eigvalsh_3x3(cov: jnp.ndarray) -> jnp.ndarray:
 
 def raw_statistical_features(input_geom: jnp.ndarray,
                              latent_queries: jnp.ndarray,
-                             graph: PaddedGraph) -> jnp.ndarray:
+                             graph: PaddedGraph,
+                             nbr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Unnormalized per-query geometric statistics. Shapes:
-    input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d]."""
+    input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d].
+    ``nbr`` optionally supplies the pre-gathered input_geom[indices] — the
+    AGNO transform gathers the same rows, and [E, d] coord tensors
+    materialize in lane-padded tiled layouts, so reuse is worth ~ms."""
     indices, mask = graph.indices, graph.mask
     num_dims = latent_queries.shape[-1]
 
-    nbr = input_geom[indices]                                    # [Q, K, d]
+    if nbr is None:
+        nbr = input_geom[indices]                                # [Q, K, d]
     diff = nbr - latent_queries[:, None, :]
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))  # [Q, K]
 
@@ -191,7 +196,8 @@ class GeometricEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
-                 graph, num_samples: int = 1) -> jnp.ndarray:
+                 graph, num_samples: int = 1,
+                 nbr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """graph: PaddedGraph [Q, K], or BucketedGraph with
         ``latent_queries`` already in bucket-concatenated (degree-sorted,
         tile-padded) order — the result is then in that order too, with the
@@ -211,7 +217,8 @@ class GeometricEmbedding(nn.Module):
 
         if self.method == "statistical":
             feats = per_bucket(
-                lambda lq, g: raw_statistical_features(input_geom, lq, g))
+                lambda lq, g: raw_statistical_features(
+                    input_geom, lq, g, nbr=None if bucketed else nbr))
             if bucketed and num_samples > 1:
                 feats = _standardize_valid_grouped(
                     feats, graph.row_valid,

@@ -213,11 +213,19 @@ class _MAGNOBase(nn.Module):
         else:
             src_proc, dst_proc = src_coords, dst_coords
 
+        # Gather the neighbor coords ONCE and share them between the AGNO
+        # kernel input and the geometric embedding — [E, d] coord tensors
+        # materialize lane-padded on TPU, so the duplicate gather is ~ms.
+        rep = (src_coords[graph.indices]
+               if cfg.use_geoembed and not cfg.node_embedding else None)
+
         out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
-                        tgraph=tgraph, num_samples=num_samples)
+                        tgraph=tgraph, num_samples=num_samples,
+                        rep_coords=rep)
 
         if cfg.use_geoembed:
-            gemb = self.geoembed(src_coords, dst_coords, graph, num_samples)
+            gemb = self.geoembed(src_coords, dst_coords, graph, num_samples,
+                                 nbr=rep)
             if out.ndim == 3:    # fx: [B, m, c] — broadcast the shared embedding
                 gemb = jnp.broadcast_to(gemb[None], out.shape[:1] + gemb.shape)
             out = jnp.concatenate([out, gemb], axis=-1)
