@@ -21,22 +21,34 @@ def capture(layout="bucketed", batch_size=16, num_nodes=8192, train_size=16,
     jax.config.update("jax_compilation_cache_dir", "/tmp/gaot_jax_cache")
     os.environ["BENCH_BUCKETS"] = "1" if layout == "bucketed" else "0"
     import bench
-
-    train_step, make_indices, params, opt_state = bench.build_vx_workload(
-        batch_size=batch_size, num_nodes=num_nodes, train_size=train_size,
-        use_buckets=(layout == "bucketed"))
     import numpy as np
 
     key = jax.random.key(1)
     rng = np.random.default_rng(1)
+    if layout == "fx":
+        # The fx flagship per-step path (bench.py default workload, scan off).
+        (train_step, _, _, params, opt_state, pndata,
+         target) = bench.build_workload(
+            batch_size=batch_size, num_nodes=num_nodes,
+            use_tgraph=True, use_buckets=True, with_scan=False)
+        args = (pndata, target)
+
+        def step(params, opt_state):
+            return train_step(params, opt_state, key, *args)
+    else:
+        train_step, make_indices, params, opt_state = bench.build_vx_workload(
+            batch_size=batch_size, num_nodes=num_nodes, train_size=train_size,
+            use_buckets=(layout == "bucketed"))
+
+        def step(params, opt_state):
+            return train_step(params, opt_state, key, make_indices(rng))
+
     for _ in range(2):
-        params, opt_state, loss = train_step(params, opt_state, key,
-                                             make_indices(rng))
+        params, opt_state, loss = step(params, opt_state)
     jax.block_until_ready(loss)
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
-            params, opt_state, loss = train_step(params, opt_state, key,
-                                                 make_indices(rng))
+            params, opt_state, loss = step(params, opt_state)
         jax.block_until_ready(loss)
     return trace_dir
 
