@@ -96,7 +96,7 @@ def make_static_vx(path, num_samples=176, num_nodes=768, seed=1):
 
 
 def make_sequential_fx(path, num_samples=120, num_nodes=768,
-                       num_timesteps=15, seed=2):
+                       num_timesteps=15, seed=2, norm_samples=None):
     """Heat-like decay: u(t+dt) is a LINEAR operator of u(t) (independent of
     t), so every stepper mode (output/residual/time_der) is cleanly
     learnable. u(x,t) = sum_k a_k exp(-nu |k|^2 t) sin/sin modes.
@@ -126,7 +126,12 @@ def make_sequential_fx(path, num_samples=120, num_nodes=768,
                           + phase[:, None, 1]))           # [M, N]
         decay = np.exp(-lam[:, None] * t[None, :])        # [M, T]
         u[s] = np.einsum("m,mt,mn->tn", amp, decay, modes)
-    u = (u / u.std()).astype(np.float32)[..., None]       # [S, T, N, 1]
+    # norm_samples pins the normalization (and the metadata stats) to a
+    # prefix of the sample set: appending extra TEST samples (the
+    # eval_bigtest tool) then leaves the first `norm_samples` samples — and
+    # therefore the training runs — bit-identical to the original dataset.
+    ns = norm_samples or num_samples
+    u = (u / u[:ns].std()).astype(np.float32)[..., None]  # [S, T, N, 1]
     x_arr = np.broadcast_to(coords[None, None].astype(np.float32),
                             (1, 1, num_nodes, 2))
     _write_nc(path, u=u, x=np.ascontiguousarray(x_arr))
@@ -135,7 +140,7 @@ def make_sequential_fx(path, num_samples=120, num_nodes=768,
         fix_x=True, domain_x=([0.0, 0.0], [1.0, 1.0]), domain_t=(0.0, 1.0),
         active_variables=[0], chunked_variables=[0], num_variable_chunks=1,
         signed={"u": [True], "c": None}, names={"u": ["$u$"], "c": None},
-        global_mean=[float(u.mean())], global_std=[float(u.std())])
+        global_mean=[float(u[:ns].mean())], global_std=[float(u[:ns].std())])
 
 
 def _write_nc(path, **arrays):

@@ -156,6 +156,36 @@ def write_report(results, path, workdir=None):
             r = sides[side]
             lines.append(f"| {case} | {side} | {r['epochs']} | "
                          f"{r['fit_time_s']:.0f} |")
+    bigtest = {}
+    if workdir:
+        for case in sorted(results):
+            bp = os.path.join(workdir, f"bigtest_{case}.json")
+            if os.path.exists(bp):
+                with open(bp) as f:
+                    bigtest[case] = json.load(f)
+    if bigtest:
+        lines += [
+            "",
+            "## Metric stability: enlarged test set",
+            "",
+            "The headline metric is a torch-median (lower-middle) over a",
+            "16-sample test set — one order statistic, so equivalently-trained",
+            "models can differ by several 1e-3 from median selection alone.",
+            "`parity/eval_bigtest.py` re-evaluates BOTH final checkpoints on a",
+            "4× test set (extra samples appended with pinned normalization —",
+            "the training data and the finished runs are bit-identical):",
+            "",
+            "| case | metric | reference | gaot_tpu | abs gap | pass |",
+            "|---|---|---|---|---|---|",
+        ]
+        for case, b in sorted(bigtest.items()):
+            for key in sorted(b["reference"]):
+                gap = b["gaps"][key]
+                ok = "✅" if gap <= 1e-3 else "❌"
+                lines.append(
+                    f"| {case} (n={b['test_size']}) | {key} | "
+                    f"{b['reference'][key]:.6f} | {b['gaot_tpu'][key]:.6f} | "
+                    f"{gap:.2e} | {ok} |")
     lines += [
         "",
         "## Reference quirks the study controls for",
