@@ -15,6 +15,7 @@ import math
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.padding import BucketedGraph, PaddedGraph
@@ -82,32 +83,50 @@ def raw_statistical_features(input_geom: jnp.ndarray,
     AGNO transform gathers the same rows, and [E, d] coord tensors
     materialize in lane-padded tiled layouts, so reuse is worth ~ms."""
     indices, mask = graph.indices, graph.mask
-    num_dims = latent_queries.shape[-1]
+    num_dims = d = latent_queries.shape[-1]
 
     if nbr is None:
         nbr = input_geom[indices]                                # [Q, K, d]
-    diff = nbr - latent_queries[:, None, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))  # [Q, K]
+    q, k = mask.shape
+    diff = (nbr - latent_queries[:, None, :]).astype(jnp.float32)
+    dist2 = jnp.sum(diff * diff, axis=-1)                        # [Q, K]
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
 
-    counts = jnp.sum(mask, axis=-1).astype(input_geom.dtype)     # [Q]
+    # One masked per-edge feature stack reduced over K by a 0/1 selection
+    # matmul: separate masked_mean/einsum reductions over [Q, K, d]-shaped
+    # operands run lane-starved on TPU (minor dims 2-8 pad to the 128-lane
+    # tile; measured 4.4 ms on the vx decoder), while [Q, K·F] @ [K·F, F]
+    # is one elementwise pass plus one tiny MXU contraction.
+    iu, ju = np.triu_indices(d)
+    pairs = diff[..., iu] * diff[..., ju]                        # [Q, K, P]
+    p = len(iu)
+    f = 3 + d + p
+    feat = jnp.concatenate(
+        [jnp.ones_like(dist)[..., None], dist[..., None], dist2[..., None],
+         diff, pairs], axis=-1)                                  # [Q, K, F]
+    feat = jnp.where(mask[..., None], feat, 0.0)
+    sel = np.zeros((k * f, f), np.float32)
+    sel[np.arange(k * f), np.tile(np.arange(f), k)] = 1.0
+    sums = feat.reshape(q, k * f) @ jnp.asarray(sel)             # [Q, F]
+
+    counts = sums[:, 0]
     has_nbrs = counts > 0
-
-    d_avg = masked_mean(dist[..., None], mask)[..., 0]           # [Q]
-    e_x2 = masked_mean((dist * dist)[..., None], mask)[..., 0]
-    d_var = jnp.maximum(e_x2 - d_avg * d_avg, 0.0)
-
-    centroid = masked_mean(nbr, mask)                            # [Q, d]
-    delta = centroid - latent_queries
-
-    centered = jnp.where(mask[..., None], nbr - centroid[:, None, :], 0.0)
-    cov = jnp.einsum("qki,qkj->qij", centered, centered,
-                     preferred_element_type=jnp.float32)
-    cov = cov / jnp.maximum(counts, 1.0)[:, None, None]
+    inv_n = 1.0 / jnp.maximum(counts, 1.0)
+    d_avg = sums[:, 1] * inv_n
+    d_var = jnp.maximum(sums[:, 2] * inv_n - d_avg * d_avg, 0.0)
+    delta = sums[:, 3:3 + d] * inv_n[:, None]                    # centroid - x
+    # cov = E[diff diffᵀ] − delta deltaᵀ (identical to centering at the
+    # centroid, shift invariance of the covariance).
+    raw2 = sums[:, 3 + d:] * inv_n[:, None]                      # [Q, P]
+    cov = jnp.zeros((q, d, d), jnp.float32)
+    cov = cov.at[:, iu, ju].set(raw2 - delta[:, iu] * delta[:, ju])
+    cov = cov.at[:, ju, iu].set(raw2 - delta[:, iu] * delta[:, ju])
     eig = eigvalsh_2x2(cov) if num_dims == 2 else eigvalsh_3x3(cov)
-    eig = jnp.where(has_nbrs[:, None], eig, 0.0).astype(input_geom.dtype)
+    eig = jnp.where(has_nbrs[:, None], eig, 0.0)
 
     feats = jnp.concatenate(
-        [counts[:, None], d_avg[:, None], d_var[:, None], delta, eig], axis=-1)
+        [counts[:, None], d_avg[:, None], d_var[:, None], delta, eig],
+        axis=-1).astype(input_geom.dtype)
     return jnp.where(has_nbrs[:, None], feats, 0.0)
 
 
