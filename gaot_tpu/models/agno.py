@@ -24,7 +24,11 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.gather_apply import apply_bucketed_graph_transform, apply_graph_transform
+from ..ops.gather_apply import (
+    apply_bucketed_graph_transform,
+    apply_graph_transform,
+    gather_multiply_reduce_km,
+)
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
@@ -55,8 +59,9 @@ class AGNO(nn.Module):
             self.key_proj = nn.Dense(self.attention_dim, dtype=self.dtype)
 
     def _attention_weights(self, query_coords: jnp.ndarray, key_coords: jnp.ndarray,
-                           mask: jnp.ndarray) -> jnp.ndarray:
-        """α(x,y) over the K axis. query_coords: [Q, 1, d]; key_coords: [Q, K, d]."""
+                           mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        """α(x,y) over the K axis. query_coords: [Q, 1, d]; key_coords:
+        [Q, K, d] (axis=-1) or K-major [1, Q, d] / [K, Q, d] (axis=0)."""
         if self.attention_type == "dot_product":
             q = self.query_proj(query_coords)                   # [Q, 1, a]
             k = self.key_proj(key_coords)                       # [Q, K, a]
@@ -68,7 +73,8 @@ class AGNO(nn.Module):
             kn = key_coords / jnp.maximum(
                 jnp.linalg.norm(key_coords, axis=-1, keepdims=True), 1e-12)
             scores = jnp.sum(qn * kn, axis=-1)                  # [Q, K]
-        return masked_softmax(scores.astype(jnp.float32), mask).astype(key_coords.dtype)
+        return masked_softmax(scores.astype(jnp.float32), mask,
+                              axis=axis).astype(key_coords.dtype)
 
     def __call__(self,
                  y: jnp.ndarray,
@@ -97,6 +103,15 @@ class AGNO(nn.Module):
             x = y
         if isinstance(graph, BucketedGraph):
             return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
+
+        # K-major fast path for vx-flattened linear transforms: the coef
+        # pipeline (kernel MLP, attention, masks) runs [K, Q, ·] end to end,
+        # feeding the Pallas reduce without any swapaxes — the Q-major
+        # layout churn cost ~4 ms/step on the airfoil decoder.
+        if (tgraph is not None and f_y is not None and f_y.ndim == 2
+                and self.transform_type == "linear"):
+            return self._call_flat_km(y, graph, x, f_y, weights, tgraph,
+                                      num_samples, rep_coords)
         indices, mask = graph.indices, graph.mask
 
         if rep_coords is None:
@@ -173,6 +188,41 @@ class AGNO(nn.Module):
         if reduction == "sum":
             return masked_sum(out, jnp.broadcast_to(m[..., None], out.shape))
         return masked_mean(out, jnp.broadcast_to(m[..., None], out.shape))
+
+    def _call_flat_km(self, y: jnp.ndarray, graph: PaddedGraph,
+                      x: jnp.ndarray, f_y: jnp.ndarray,
+                      weights: Optional[jnp.ndarray],
+                      tgraph: TransposeGraph, num_samples: int,
+                      rep_km: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """K-major flat transform: every per-edge tensor is [K, Q, ·], the
+        softmax/mask reduce over axis 0 with Q in the vector lanes, and the
+        coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly."""
+        idx_t = graph.indices.T                                  # [K, Q]
+        mask_t = graph.mask.T
+        if rep_km is None:
+            rep_km = y[idx_t]                                    # [K, Q, d1]
+        self_c = x[None, :, :]                                   # [1, Q, d2]
+
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                self_c[..., :self.coord_dim],
+                rep_km[..., :self.coord_dim], mask_t, axis=0)    # [K, Q]
+
+        self_b = jnp.broadcast_to(self_c, rep_km.shape[:-1] + (x.shape[-1],))
+        agg = jnp.concatenate([rep_km, self_b], axis=-1)         # [K, Q, d1+d2]
+        coef = self.channel_mlp(agg)                             # [K, Q, C]
+        if attention is not None:
+            coef = coef * attention[..., None].astype(coef.dtype)
+        if weights is not None:
+            coef = coef * weights[idx_t][..., None].astype(coef.dtype)
+        elif attention is None:  # mean reduce
+            counts = jnp.maximum(jnp.sum(mask_t, axis=0, keepdims=True), 1)
+            coef = coef / counts[..., None].astype(coef.dtype)
+        coef = jnp.where(mask_t[..., None], coef, 0)
+        return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph.edge_pos,
+                                         tgraph.query, tgraph.mask,
+                                         num_samples)
 
     def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
                      weights: Optional[jnp.ndarray]) -> jnp.ndarray:

@@ -76,38 +76,53 @@ def eigvalsh_3x3(cov: jnp.ndarray) -> jnp.ndarray:
 def raw_statistical_features(input_geom: jnp.ndarray,
                              latent_queries: jnp.ndarray,
                              graph: PaddedGraph,
-                             nbr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                             nbr: Optional[jnp.ndarray] = None,
+                             kmajor: bool = False) -> jnp.ndarray:
     """Unnormalized per-query geometric statistics. Shapes:
     input_geom [N, d], latent_queries [Q, d], graph [Q, K] → [Q, 3 + 2d].
     ``nbr`` optionally supplies the pre-gathered input_geom[indices] — the
     AGNO transform gathers the same rows, and [E, d] coord tensors
-    materialize in lane-padded tiled layouts, so reuse is worth ~ms."""
+    materialize in lane-padded tiled layouts, so reuse is worth ~ms.
+    ``kmajor``: nbr (and the internal per-edge tensors) are [K, Q, d]
+    (the vx-flat AGNO orientation); the K reduce then runs over axis 0
+    with Q·F in the vector lanes."""
     indices, mask = graph.indices, graph.mask
     num_dims = d = latent_queries.shape[-1]
 
-    if nbr is None:
-        nbr = input_geom[indices]                                # [Q, K, d]
-    q, k = mask.shape
-    diff = (nbr - latent_queries[:, None, :]).astype(jnp.float32)
-    dist2 = jnp.sum(diff * diff, axis=-1)                        # [Q, K]
+    if kmajor:
+        mask = mask.T                                            # [K, Q]
+        if nbr is None:
+            nbr = input_geom[indices.T]                          # [K, Q, d]
+        diff = (nbr - latent_queries[None, :, :]).astype(jnp.float32)
+        k, q = mask.shape
+    else:
+        if nbr is None:
+            nbr = input_geom[indices]                            # [Q, K, d]
+        diff = (nbr - latent_queries[:, None, :]).astype(jnp.float32)
+        q, k = mask.shape
+    dist2 = jnp.sum(diff * diff, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
 
-    # One masked per-edge feature stack reduced over K by a 0/1 selection
-    # matmul: separate masked_mean/einsum reductions over [Q, K, d]-shaped
-    # operands run lane-starved on TPU (minor dims 2-8 pad to the 128-lane
-    # tile; measured 4.4 ms on the vx decoder), while [Q, K·F] @ [K·F, F]
-    # is one elementwise pass plus one tiny MXU contraction.
+    # One masked per-edge feature stack reduced over K in a single pass:
+    # separate masked_mean/einsum reductions over [Q, K, d]-shaped operands
+    # run lane-starved on TPU (minor dims 2-8 pad to the 128-lane tile;
+    # measured 4.4 ms on the vx decoder). Q-major reduces via a tiny
+    # [Q, K·F] @ [K·F, F] 0/1-selection matmul; K-major reduces over the
+    # leading axis with Q·F lanes.
     iu, ju = np.triu_indices(d)
-    pairs = diff[..., iu] * diff[..., ju]                        # [Q, K, P]
+    pairs = diff[..., iu] * diff[..., ju]
     p = len(iu)
     f = 3 + d + p
     feat = jnp.concatenate(
         [jnp.ones_like(dist)[..., None], dist[..., None], dist2[..., None],
-         diff, pairs], axis=-1)                                  # [Q, K, F]
+         diff, pairs], axis=-1)                                  # [·, ·, F]
     feat = jnp.where(mask[..., None], feat, 0.0)
-    sel = np.zeros((k * f, f), np.float32)
-    sel[np.arange(k * f), np.tile(np.arange(f), k)] = 1.0
-    sums = feat.reshape(q, k * f) @ jnp.asarray(sel)             # [Q, F]
+    if kmajor:
+        sums = feat.reshape(k, q * f).sum(axis=0).reshape(q, f)
+    else:
+        sel = np.zeros((k * f, f), np.float32)
+        sel[np.arange(k * f), np.tile(np.arange(f), k)] = 1.0
+        sums = feat.reshape(q, k * f) @ jnp.asarray(sel)         # [Q, F]
 
     counts = sums[:, 0]
     has_nbrs = counts > 0
@@ -216,7 +231,8 @@ class GeometricEmbedding(nn.Module):
     @nn.compact
     def __call__(self, input_geom: jnp.ndarray, latent_queries: jnp.ndarray,
                  graph, num_samples: int = 1,
-                 nbr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 nbr: Optional[jnp.ndarray] = None,
+                 kmajor: bool = False) -> jnp.ndarray:
         """graph: PaddedGraph [Q, K], or BucketedGraph with
         ``latent_queries`` already in bucket-concatenated (degree-sorted,
         tile-padded) order — the result is then in that order too, with the
@@ -237,7 +253,8 @@ class GeometricEmbedding(nn.Module):
         if self.method == "statistical":
             feats = per_bucket(
                 lambda lq, g: raw_statistical_features(
-                    input_geom, lq, g, nbr=None if bucketed else nbr))
+                    input_geom, lq, g, nbr=None if bucketed else nbr,
+                    kmajor=kmajor and not bucketed))
             if bucketed and num_samples > 1:
                 feats = _standardize_valid_grouped(
                     feats, graph.row_valid,

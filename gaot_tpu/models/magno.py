@@ -216,8 +216,15 @@ class _MAGNOBase(nn.Module):
         # Gather the neighbor coords ONCE and share them between the AGNO
         # kernel input and the geometric embedding — [E, d] coord tensors
         # materialize lane-padded on TPU, so the duplicate gather is ~ms.
-        rep = (src_coords[graph.indices]
-               if cfg.use_geoembed and not cfg.node_embedding else None)
+        # The vx-flat linear path runs K-major (AGNO._call_flat_km), so the
+        # shared gather is issued in that orientation too.
+        kmajor = (f_src is not None and f_src.ndim == 2 and tgraph is not None
+                  and cfg.transform_type == "linear"
+                  and not cfg.node_embedding)
+        rep = None
+        if cfg.use_geoembed and not cfg.node_embedding:
+            rep = (src_coords[graph.indices.T] if kmajor
+                   else src_coords[graph.indices])
 
         out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
                         tgraph=tgraph, num_samples=num_samples,
@@ -225,7 +232,7 @@ class _MAGNOBase(nn.Module):
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples,
-                                 nbr=rep)
+                                 nbr=rep, kmajor=kmajor)
             if out.ndim == 3:    # fx: [B, m, c] — broadcast the shared embedding
                 gemb = jnp.broadcast_to(gemb[None], out.shape[:1] + gemb.shape)
             out = jnp.concatenate([out, gemb], axis=-1)

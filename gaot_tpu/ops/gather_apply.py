@@ -112,6 +112,57 @@ def _bwd(num_samples, res, dout):
 gather_multiply_reduce.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gather_multiply_reduce_km(coef_km: jnp.ndarray, f: jnp.ndarray,
+                              idx_t: jnp.ndarray, edge_pos: jnp.ndarray,
+                              tquery: jnp.ndarray, tmask: jnp.ndarray,
+                              num_samples: int = 1) -> jnp.ndarray:
+    """K-major flat gather-multiply-reduce: coef_km [K, Q, C], f [N, C],
+    idx_t [K, Q]. Returns [Q, C].
+
+    The K-major variant of the flat custom VJP: the vx coef pipeline
+    (kernel MLP, attention, masks) runs K-major end to end, so the forward
+    needs NO swapaxes into the Pallas reduce and d_coef comes back in the
+    producer's layout — the Q-major flat path paid ~4 ms/step of [·, K, C]
+    layout copies on the airfoil decoder."""
+    return _km_fwd(coef_km, f, idx_t, edge_pos, tquery, tmask, num_samples)[0]
+
+
+def _km_fwd(coef_km, f, idx_t, edge_pos, tquery, tmask, num_samples=1):
+    gath_km = _bulk_gather(f, idx_t)                  # [K, Q, C]
+    out = _mulred_k_dispatch(coef_km, gath_km, 1)
+    return out, (coef_km, gath_km, edge_pos, tquery, tmask)
+
+
+def _km_bwd(num_samples, res, dout):
+    coef_km, gath_km, edge_pos, tquery, tmask = res
+    f_dtype = gath_km.dtype
+    c = coef_km.shape[-1]
+    dout = dout.astype(f_dtype)
+    d_coef = _mulred_b_dispatch(gath_km, dout, 1, c).astype(coef_km.dtype)
+    # The transpose-graph d_f path numbers edges q·K+k, so one swap copy
+    # re-materializes coef edge-flat for the gathers (the Q-major path pays
+    # this same copy in the forward instead).
+    coef_flat = jnp.swapaxes(coef_km.astype(f_dtype), 0, 1).reshape(-1, c)
+    if (num_samples > 1
+            and coef_flat.shape[0] % num_samples == 0
+            and dout.shape[0] % num_samples == 0
+            and tmask.shape[0] % num_samples == 0):
+        d_f = _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask,
+                            num_samples).astype(f_dtype)
+    else:
+        cg = jnp.where(tmask.T[..., None],
+                       _bulk_gather(coef_flat, edge_pos.T), 0)
+        dg_km = _bulk_gather(dout, tquery.T)
+        d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (d_coef, d_f, zeros_i(coef_km[..., 0]).astype(jnp.int32),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+gather_multiply_reduce_km.defvjp(_km_fwd, _km_bwd)
+
+
 def _bulk_gather(f2d, indices):
     """Leading-axis row gather with a forced materialization boundary.
 
