@@ -148,16 +148,16 @@ def _flash_backward_long(q, k, v, out, do, lse):
     QK^T tiles twice — the price of clean single-block accumulation on the
     TPU grid model.
     """
-    b, s, h, d = q.shape
-    hkv = k.shape[2]
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
     group = h // hkv
     scale = 1.0 / (d ** 0.5)
 
-    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
-    doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    oh = out.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    qh = q.reshape(b * h, s, d)
+    kh = k.reshape(b * hkv, s, d)
+    vh = v.reshape(b * hkv, s, d)
+    doh = do.reshape(b * h, s, d)
+    oh = out.reshape(b * h, s, d)
     # delta = rowsum(dO ∘ O): skinny [bh, S] precompute outside the kernels.
     delta = jnp.einsum("bsd,bsd->bs", doh.astype(jnp.float32),
                        oh.astype(jnp.float32))
@@ -206,9 +206,9 @@ def _flash_backward_long(q, k, v, out, do, lse):
                         pltpu.VMEM((tile, d), jnp.float32)],
     )(qh, kh, vh, doh, lse, delta)
 
-    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
-    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
-    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    dq = dq.reshape(b, h, s, d)
+    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2)
+    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -308,23 +308,47 @@ def _bwd_supported(seq: int, head_dim: int) -> bool:
 
 def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         q_block: int = 1024) -> jnp.ndarray:
-    """Attention with grouped KV heads.
+    """Attention with grouped KV heads (sequence-major convenience wrapper).
 
     q: [B, S, H, D]; k, v: [B, S, Hkv, D] with H a multiple of Hkv.
     Returns [B, S, H, D]. Falls back to the XLA einsum path for shapes the
-    kernel doesn't cover. Differentiable: forward runs the Pallas flash
-    kernel; backward runs the Pallas flash backward when the shape allows
-    (S ≤ 4096), else recomputes through the XLA reference.
+    kernel doesn't cover. Prefer flash_attention_gqa_hm: this wrapper pays
+    explicit head transposes on every operand.
     """
     if not _supported(q.shape[1], q.shape[3]):
         from ...models.transformer import gqa_attention_xla
 
         return gqa_attention_xla(q, k, v)
+    out = flash_attention_gqa_hm(q.transpose(0, 2, 1, 3),
+                                 k.transpose(0, 2, 1, 3),
+                                 v.transpose(0, 2, 1, 3), q_block)
+    return out.transpose(0, 2, 1, 3)
+
+
+def flash_attention_gqa_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           q_block: int = 1024) -> jnp.ndarray:
+    """Heads-major flash attention with grouped KV heads.
+
+    q: [B, H, S, D]; k, v: [B, Hkv, S, D]. Returns [B, H, S, D]. This is
+    the kernels' native layout: callers that project directly into it (one
+    einsum, models/transformer.py::_HeadsSplit) avoid the [B, S, H, D]
+    transposes entirely — measured ~0.2 ms per 64×1024×256 copy on v5e,
+    ~a dozen per fx step. Differentiable: the backward runs the Pallas
+    flash backward when the shape allows (S ≤ 4096 monolithic/q-tiled,
+    longer via the LSE two-kernel path), else recomputes through XLA.
+    """
+    s = q.shape[2]
+    if not _supported(s, q.shape[3]):
+        from ...models.transformer import gqa_attention_xla
+
+        out = gqa_attention_xla(q.transpose(0, 2, 1, 3),
+                                k.transpose(0, 2, 1, 3),
+                                v.transpose(0, 2, 1, 3))
+        return out.transpose(0, 2, 1, 3)
     # The fp32 [Qt, S] logits tile must fit the ~16 MB scoped-VMEM budget.
     # Search downward in 128-row steps: _supported guarantees s % 128 == 0,
     # so this always terminates at a valid tile (halving could degenerate to
     # 1-row tiles for non-power-of-two S).
-    s = q.shape[1]
     qb = min(q_block, s, max(128, (1 << 21) // s // 128 * 128))
     while s % qb:
         qb -= 128
@@ -337,7 +361,7 @@ def _flash_diff(q, k, v, q_block):
 
 
 def _flash_fwd_rule(q, k, v, q_block):
-    if q.shape[1] > _BWD_TILED_MAX_S and _bwd_supported(q.shape[1], q.shape[3]):
+    if q.shape[2] > _BWD_TILED_MAX_S and _bwd_supported(q.shape[2], q.shape[3]):
         # Long sequences: emit the log-sum-exp alongside the output so the
         # kv-tiled backward can normalize each tile locally.
         out, lse = _flash_forward(q, k, v, q_block, with_lse=True)
@@ -348,14 +372,20 @@ def _flash_fwd_rule(q, k, v, q_block):
 
 def _flash_bwd_rule(q_block, residuals, g):
     q, k, v, out, lse = residuals
-    s = q.shape[1]
+    s = q.shape[2]
     if lse is not None:
         return _flash_backward_long(q, k, v, out, g, lse)
     if _bwd_supported(s, q.shape[3]) and s <= _BWD_TILED_MAX_S:
         return _flash_backward(q, k, v, out, g)
     from ...models.transformer import gqa_attention_xla
 
-    _, vjp = jax.vjp(gqa_attention_xla, q, k, v)
+    def _xla_hm(qx, kx, vx):
+        o = gqa_attention_xla(qx.transpose(0, 2, 1, 3),
+                              kx.transpose(0, 2, 1, 3),
+                              vx.transpose(0, 2, 1, 3))
+        return o.transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(_xla_hm, q, k, v)
     return vjp(g)
 
 
@@ -363,16 +393,16 @@ _flash_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def _flash_backward(q, k, v, out, do):
-    b, s, h, d = q.shape
-    hkv = k.shape[2]
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
     group = h // hkv
     scale = 1.0 / (d ** 0.5)
 
-    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
-    doh = do.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    oh = out.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    qh = q.reshape(b * h, s, d)
+    kh = k.reshape(b * hkv, s, d)
+    vh = v.reshape(b * hkv, s, d)
+    doh = do.reshape(b * h, s, d)
+    oh = out.reshape(b * h, s, d)
     out_sds = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
 
     if s <= _BWD_MONOLITHIC_MAX_S:
@@ -415,25 +445,26 @@ def _flash_backward(q, k, v, out, do):
                             pltpu.VMEM((s, d), jnp.float32)],
         )(qh, kh, vh, doh, oh)
 
-    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    dq = dq.reshape(b, h, s, d)
     # dK/dV are computed per q-head; sum the per-group partials for GQA.
-    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
-    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2).transpose(0, 2, 1, 3)
+    dk = dkp.reshape(b, hkv, group, s, d).sum(axis=2)
+    dv = dvp.reshape(b, hkv, group, s, d).sum(axis=2)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    q_block: int, with_lse: bool = False):
-    b, s, h, d = q.shape
-    hkv = k.shape[2]
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
     assert h % hkv == 0
     group = h // hkv
     scale = 1.0 / (d ** 0.5)
 
-    # Layout: heads-major so one program owns one (batch, head) slice.
-    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    kh = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d)
+    # Heads-major: one program owns one (batch, head) slice; the reshapes
+    # from [B, H, S, D] are free.
+    qh = q.reshape(b * h, s, d)
+    kh = k.reshape(b * hkv, s, d)
+    vh = v.reshape(b * hkv, s, d)
 
     def kv_index(bh, qs):
         # program bh = batch * h + head → kv row = batch * hkv + head // group
@@ -459,7 +490,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_shape=[jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
                        jax.ShapeDtypeStruct((b * h, s), jnp.float32)],
         )(qh, kh, vh)
-        return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), lse
+        return out.reshape(b, h, s, d), lse
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
@@ -467,4 +498,4 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
     )(qh, kh, vh)
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, s, d)
