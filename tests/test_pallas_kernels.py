@@ -171,9 +171,13 @@ def test_flash_backward_long_matches_xla():
     v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
     do = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
 
+    hm = lambda x: x.transpose(0, 2, 1, 3)  # internals are heads-major
     with pltpu.force_tpu_interpret_mode():
-        out, lse = fa._flash_forward(q, k, v, q_block=128, with_lse=True)
-        dq, dk, dv = fa._flash_backward_long(q, k, v, out, do, lse)
+        out, lse = fa._flash_forward(hm(q), hm(k), hm(v), q_block=128,
+                                     with_lse=True)
+        dq, dk, dv = fa._flash_backward_long(hm(q), hm(k), hm(v), out,
+                                             hm(do), lse)
+    out, dq, dk, dv = hm(out), hm(dq), hm(dk), hm(dv)
 
     out_ref, vjp = jax.vjp(gqa_attention_xla, q, k, v)
     dq_r, dk_r, dv_r = vjp(do)
