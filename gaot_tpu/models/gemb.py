@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -122,7 +123,12 @@ def raw_statistical_features(input_geom: jnp.ndarray,
     else:
         sel = np.zeros((k * f, f), np.float32)
         sel[np.arange(k * f), np.tile(np.arange(f), k)] = 1.0
-        sums = feat.reshape(q, k * f) @ jnp.asarray(sel)         # [Q, F]
+        # HIGHEST precision: the default TPU matmul rounds inputs to bf16,
+        # and the E[x²]−E[x]² variance downstream amplifies that rounding
+        # (measured ~1.6% d_var error vs float64; exact-f32 here matches the
+        # K-major plain-sum branch to ~1e-7).
+        sums = jnp.matmul(feat.reshape(q, k * f), jnp.asarray(sel),
+                          precision=jax.lax.Precision.HIGHEST)   # [Q, F]
 
     counts = sums[:, 0]
     has_nbrs = counts > 0

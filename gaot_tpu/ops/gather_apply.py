@@ -75,17 +75,7 @@ def _bwd(num_samples, res, dout):
         d_coef = jnp.swapaxes(
             _mulred_b_dispatch(gath_km, dout, 1, c_dim), 0, 1).astype(coef.dtype)
         coef_flat = coef.astype(f_dtype).reshape(-1, c_dim)
-        if (num_samples > 1
-                and coef_flat.shape[0] % num_samples == 0
-                and dout.shape[0] % num_samples == 0
-                and tmask.shape[0] % num_samples == 0):
-            d_f = _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask,
-                                num_samples).astype(f_dtype)
-        else:
-            cg = jnp.where(tmask.T[..., None],
-                           _bulk_gather(coef_flat, edge_pos.T), 0)  # [Kt,N,C]
-            dg_km = _bulk_gather(dout, tquery.T)          # [Kt, N, C]
-            d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
+        d_f = _flat_df(coef_flat, dout, edge_pos, tquery, tmask, num_samples)
         return (d_coef, d_f, jnp.zeros(coef.shape[:2], jnp.int32),
                 zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
 
@@ -144,17 +134,7 @@ def _km_bwd(num_samples, res, dout):
     # re-materializes coef edge-flat for the gathers (the Q-major path pays
     # this same copy in the forward instead).
     coef_flat = jnp.swapaxes(coef_km.astype(f_dtype), 0, 1).reshape(-1, c)
-    if (num_samples > 1
-            and coef_flat.shape[0] % num_samples == 0
-            and dout.shape[0] % num_samples == 0
-            and tmask.shape[0] % num_samples == 0):
-        d_f = _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask,
-                            num_samples).astype(f_dtype)
-    else:
-        cg = jnp.where(tmask.T[..., None],
-                       _bulk_gather(coef_flat, edge_pos.T), 0)
-        dg_km = _bulk_gather(dout, tquery.T)
-        d_f = _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
+    d_f = _flat_df(coef_flat, dout, edge_pos, tquery, tmask, num_samples)
     zeros_i = lambda x: jnp.zeros_like(x)
     return (d_coef, d_f, zeros_i(coef_km[..., 0]).astype(jnp.int32),
             zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
@@ -174,6 +154,23 @@ def _bulk_gather(f2d, indices):
     slow element-wise form.
     """
     return jax.lax.optimization_barrier(f2d[indices])
+
+
+def _flat_df(coef_flat, dout, edge_pos, tquery, tmask, num_samples):
+    """d_f for the flat layouts: the per-sample-slab scan when the batch is
+    per-sample block structured, else the combined barriered-gather pass.
+    Shared by the Q-major and K-major flat VJPs."""
+    f_dtype = dout.dtype
+    if (num_samples > 1
+            and coef_flat.shape[0] % num_samples == 0
+            and dout.shape[0] % num_samples == 0
+            and tmask.shape[0] % num_samples == 0):
+        return _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask,
+                             num_samples).astype(f_dtype)
+    cg = jnp.where(tmask.T[..., None],
+                   _bulk_gather(coef_flat, edge_pos.T), 0)      # [Kt, N, C]
+    dg_km = _bulk_gather(dout, tquery.T)                        # [Kt, N, C]
+    return _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
 
 
 def _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask, b):
@@ -431,7 +428,6 @@ def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
     sz = [r * cf.shape[1] for r, cf in zip(rs, coefs)]  # per-sample edges
     e_base = np.concatenate([[0], np.cumsum(sz)]).astype(np.int64)
     r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
-    r_tot, e_tot = int(r_base[-1]), int(e_base[-1])
 
     # Per-bucket slabs with leading sample dim (static slice + reshape).
     coef_xs = tuple(cf.reshape(s, sz_j, c) for cf, sz_j in zip(coefs, sz))

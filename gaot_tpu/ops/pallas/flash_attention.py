@@ -330,10 +330,11 @@ def flash_attention_gqa_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Heads-major flash attention with grouped KV heads.
 
     q: [B, H, S, D]; k, v: [B, Hkv, S, D]. Returns [B, H, S, D]. This is
-    the kernels' native layout: callers that project directly into it (one
-    einsum, models/transformer.py::_HeadsSplit) avoid the [B, S, H, D]
-    transposes entirely — measured ~0.2 ms per 64×1024×256 copy on v5e,
-    ~a dozen per fx step. Differentiable: the backward runs the Pallas
+    the kernels' native layout, so callers already holding heads-major
+    tensors pay no [B, S, H, D] transposes. (An einsum projection emitting
+    this layout directly was measured 4% slower END TO END than Dense +
+    XLA's layout copies — backward layout propagation — so the transformer
+    keeps the seq-major wrapper below.) Differentiable: the backward runs the Pallas
     flash backward when the shape allows (S ≤ 4096 monolithic/q-tiled,
     longer via the LSE two-kernel path), else recomputes through XLA.
     """

@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parity import cases  # noqa: E402
 
-ORIG_SAMPLES = 120  # make_sequential_fx default
+# The original sample count is the generator's own default — read it from
+# the signature so the prefix pinning can't silently diverge from cases.py.
+import inspect  # noqa: E402
+
+ORIG_SAMPLES = inspect.signature(
+    cases.make_sequential_fx).parameters["num_samples"].default
 
 
 def build_big_dataset(case, workdir, extra):

@@ -179,7 +179,8 @@ def write_report(results, path, workdir=None):
             "|---|---|---|---|---|---|",
         ]
         for case, b in sorted(bigtest.items()):
-            for key in sorted(b["reference"]):
+            # gaps holds the metric intersection (a side may drop NaNs).
+            for key in sorted(b["gaps"]):
                 gap = b["gaps"][key]
                 ok = "✅" if gap <= 1e-3 else "❌"
                 lines.append(
