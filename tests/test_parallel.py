@@ -101,3 +101,62 @@ def test_tp_forward_matches_replicated():
         params_tp, placed["pndata"])
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_tp),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_flat_df_scan_under_dp_sharding():
+    """The per-sample-slab backward scan (ops/gather_apply.py::_flat_df_scan)
+    iterates over the GLOBAL sample axis; under data-parallel batch sharding
+    XLA must still produce gradients identical to the unsharded run (it may
+    all-gather the scanned operands — correctness first, the scan's VMEM win
+    is a single-device property)."""
+    import jax.numpy as jnp
+
+    from gaot_tpu.models.magno import flatten_vx_graph, flatten_vx_tgraph
+    from gaot_tpu.ops.gather_apply import gather_multiply_reduce
+    from gaot_tpu.ops.neighbor_search import radius_search
+    from gaot_tpu.ops.padding import (
+        PaddedGraph,
+        TransposeGraph,
+        pad_csr,
+        repad,
+        repad_tgraph,
+        stack_graphs,
+        transpose_graph,
+    )
+
+    rng = np.random.default_rng(11)
+    b, n, q, c = 8, 24, 12, 8
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (q, 2))
+    gs = [pad_csr(*radius_search(srcs[i], dst, 0.6), pad_multiple=4)
+          for i in range(b)]
+    k = max(g.k for g in gs)
+    gs = [repad(g, k) for g in gs]
+    ts = [repad_tgraph(transpose_graph(g, n), 8) for g in gs]
+    stacked = stack_graphs(gs)
+    flat_g = flatten_vx_graph(
+        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
+    flat_t = flatten_vx_tgraph(
+        TransposeGraph(jnp.asarray(np.stack([t.edge_pos for t in ts])),
+                       jnp.asarray(np.stack([t.query for t in ts])),
+                       jnp.asarray(np.stack([t.mask for t in ts]))), q, k)
+    coef = jnp.asarray(rng.normal(size=(b * q, k, c)).astype(np.float32))
+    coef = coef * flat_g.mask[..., None]
+    f = rng.normal(size=(b * n, c)).astype(np.float32)
+
+    def loss(coef, f):
+        return jnp.sum(gather_multiply_reduce(
+            coef, f, flat_g.indices, flat_t.edge_pos, flat_t.query,
+            flat_t.mask, b) ** 2)
+
+    gc0, gf0 = jax.grad(loss, argnums=(0, 1))(coef, jnp.asarray(f))
+
+    mesh = make_mesh(8, 1)
+    placed = shard_batch(
+        {"f": f.reshape(b, n, c)}, mesh, b)
+    f_sh = placed["f"].reshape(b * n, c)
+    gc1, gf1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(coef, f_sh)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0),
+                               rtol=1e-5, atol=1e-6)
