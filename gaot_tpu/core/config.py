@@ -146,7 +146,7 @@ class MAGNOConfig:
     attention_type: str = "cosine"      # ['cosine', 'dot_product']
     use_geoembed: bool = True
     embedding_method: str = "statistical"  # ['statistical', 'pointnet']
-    pooling: str = "max"                # pooling for pointnet ['max', 'mean']
+    pooling: str = "max"                # pooling for pointnet ['max','mean','sum']
 
     # Transform & sampling
     transform_type: str = "linear"      # ['linear','nonlinear','linear_kernelonly','nonlinear_kernelonly']

@@ -231,7 +231,7 @@ class GeometricEmbedding(nn.Module):
 
     output_dim: int
     method: str = "statistical"   # ['statistical', 'pointnet']
-    pooling: str = "max"          # ['max', 'mean'] for pointnet
+    pooling: str = "max"          # ['max', 'mean', 'sum'] for pointnet
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -289,6 +289,13 @@ class GeometricEmbedding(nn.Module):
                     pooled = masked_max(h, mask)
                 elif self.pooling == "mean":
                     pooled = masked_mean(h, mask)
+                elif self.pooling == "sum":
+                    # Advertised by the reference config surface
+                    # (magno.py:47 lists ['max','mean','sum']) but its
+                    # GeometricEmbedding rejects it (gemb.py:49-50);
+                    # supported here as the natural masked reduction.
+                    pooled = jnp.sum(h * mask[..., None].astype(h.dtype),
+                                     axis=-2)
                 else:
                     raise ValueError(
                         f"Unsupported pooling method: {self.pooling}")

@@ -42,6 +42,7 @@ def _model(magno_overrides=None, model_overrides=None):
 @pytest.mark.parametrize("magno_kw", [
     {"node_embedding": True},
     {"embedding_method": "pointnet", "pooling": "mean"},
+    {"embedding_method": "pointnet", "pooling": "sum"},
     {"transform_type": "nonlinear"},
     {"use_geoembed": False},
     {"attention_type": "dot_product"},
