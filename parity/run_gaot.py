@@ -22,6 +22,11 @@ def main():
     p.add_argument("--workdir", required=True)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "auto"])
+    p.add_argument("--perturb-scale", type=float, default=0.0,
+                   help="perturb every float param leaf by "
+                        "scale*std(leaf)*N(0,1) before training (noise-floor "
+                        "study, see parity/perturb_study.py)")
+    p.add_argument("--perturb-seed", type=int, default=0)
     args = p.parse_args()
 
     if args.platform != "auto":
@@ -60,6 +65,29 @@ def main():
     trainer = trainer_cls(cfg)
     setup_time = time.perf_counter() - t0
 
+    if args.perturb_scale:
+        # Noise-floor variant: nudge the (seeded, hence reproducible) init by
+        # eps ~ the measured cross-framework forward difference and let the
+        # otherwise-unmodified trainer amplify it. opt_state (AdamW zeros) is
+        # value-independent, so perturbing after construction is exact.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        rng = np.random.default_rng(args.perturb_seed)
+
+        def _nudge(w):
+            a = np.asarray(w)
+            if a.dtype.kind == "f" and a.size > 1:
+                std = float(a.std()) or float(np.abs(a).max()) or 1.0
+                a = a + (args.perturb_scale * std
+                         * rng.standard_normal(a.shape)).astype(a.dtype)
+            return jnp.asarray(a)
+
+        trainer.params = jax.tree.map(_nudge, trainer.params)
+        print(f"perturbed init: scale={args.perturb_scale} "
+              f"seed={args.perturb_seed}")
+
     # Save transplantable init weights for the reference run.
     init_path = os.path.join(args.workdir, f"init_{args.case}.pt")
     import torch
@@ -76,6 +104,9 @@ def main():
 
     result = {
         "side": "gaot_tpu", "case": args.case,
+        "platform": args.platform,
+        "perturb_scale": args.perturb_scale,
+        "perturb_seed": args.perturb_seed,
         "epochs": cfg["optimizer"]["args"]["epoch"],
         "setup_time_s": round(setup_time, 2),
         "fit_time_s": round(fit_time, 2),
