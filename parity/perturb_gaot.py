@@ -54,7 +54,7 @@ def main():
     p.add_argument("--cases", nargs="*",
                    default=["seq_time_der", "seq_output"])
     p.add_argument("--scale", type=float, default=1e-6)
-    p.add_argument("--nseeds", type=int, default=2)
+    p.add_argument("--nseeds", type=int, default=5)
     p.add_argument("--platform", default="auto",
                    help="'auto' lets the container's sitecustomize pick the "
                         "tunneled axon TPU; 'tpu' only matches local chips")
@@ -66,7 +66,9 @@ def main():
     for case in args.cases:
         cdir = os.path.join(args.workdir, case)
         variants = [("det", 0.0, 0)]
-        variants += [(f"p{s}", args.scale, s)
+        # Scale-suffixed variant names: a rerun with a different --scale gets
+        # fresh dirs instead of silently reusing stale cached results.
+        variants += [(f"p{s}_{args.scale:g}", args.scale, s)
                      for s in range(1, args.nseeds + 1)]
         for name, scale, seed in variants:
             vdir = os.path.join(cdir, name)
@@ -79,7 +81,13 @@ def main():
                     print(f"[perturb-gaot] {case}/{name} FAILED rc={rc}")
                     continue
             with open(out) as f:
-                results.setdefault(case, {})[name] = json.load(f)
+                r = json.load(f)
+            if r.get("perturb_scale", 0.0) != scale:
+                print(f"[perturb-gaot] {case}/{name}: cached perturb_scale "
+                      f"{r.get('perturb_scale')} != requested {scale}; "
+                      f"delete {out} and re-run")
+                continue
+            results.setdefault(case, {})[name] = r
 
     committed_path = os.path.join(REPO, "parity_results.json")
     committed = {}
@@ -102,6 +110,10 @@ def main():
             if perts:
                 row["noise_floor"] = max(abs(pv - base[metric])
                                          for pv in perts)
+                devs = [pv - base[metric] for pv in perts]
+                # RMS deviation from det — the σ_gaot of the PARITY criterion.
+                row["noise_rms"] = (sum(d * d for d in devs)
+                                    / len(devs)) ** 0.5
                 row["pert_values"] = perts
             if ref0.get(metric) is not None and gaot.get(metric) is not None:
                 row["ref_vs_gaot_gap"] = abs(ref0[metric] - gaot[metric])

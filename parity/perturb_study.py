@@ -93,8 +93,10 @@ def perturb_init(init_path: str, out_path: str, scale: float, seed: int):
     out = {}
     for k, w in sd.items():
         w = w.clone()
-        if w.numel() > 1 and w.is_floating_point():
-            std = float(w.std())
+        if w.is_floating_point():
+            # std==0 (incl. size-1 leaves) falls back to abs-max then 1.0 so
+            # every float tensor is perturbed — same rule as run_gaot._nudge.
+            std = float(w.std()) if w.numel() > 1 else 0.0
             if std == 0.0:
                 std = float(w.abs().max()) or 1.0
             w = w + scale * std * torch.randn(w.shape, generator=g,
@@ -103,13 +105,16 @@ def perturb_init(init_path: str, out_path: str, scale: float, seed: int):
     torch.save(out, out_path)
 
 
-def launch_reference(case: str, variant_dir: str, init: str, log: str):
+def run_reference(case: str, variant_dir: str, init: str, log: str) -> int:
     cmd = [sys.executable, "parity/run_reference.py", "--case", case,
            "--workdir", variant_dir, "--init", init]
-    print(f"[perturb] launching: {' '.join(cmd)}", flush=True)
-    lf = open(log, "w")
-    return subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                            cwd=REPO)
+    print(f"[perturb] running: {' '.join(cmd)}", flush=True)
+    t0 = time.perf_counter()
+    with open(log, "w") as lf:
+        rc = subprocess.call(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                             cwd=REPO)
+    print(f"[perturb] rc={rc} in {time.perf_counter() - t0:.0f}s", flush=True)
+    return rc
 
 
 def main():
@@ -118,47 +123,47 @@ def main():
     p.add_argument("--cases", nargs="*",
                    default=["seq_time_der", "seq_output"])
     p.add_argument("--scale", type=float, default=1e-6)
-    p.add_argument("--nseeds", type=int, default=2)
-    p.add_argument("--timeout", type=int, default=10800)
+    p.add_argument("--nseeds", type=int, default=5)
+    p.add_argument("--timeout", type=int, default=86400)
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    jobs = []  # (case, variant, popen, result_path)
+    # Sequential execution (this box has one CPU core): cases in the order
+    # given — put the metrics that most need a noise floor first so partial
+    # results are usable if the wall clock runs out. Variant dirs encode the
+    # perturbation scale so a rerun with a different --scale cannot silently
+    # reuse stale cached results.
+    deadline = time.time() + args.timeout
+    results = {}
     for case in args.cases:
         cdir = os.path.join(args.workdir, case)
         os.makedirs(cdir, exist_ok=True)
         init = save_init(case, cdir)
         variants = [("det", init)]
         for s in range(1, args.nseeds + 1):
-            pert = os.path.join(cdir, f"init_{case}_p{s}.pt")
+            pert = os.path.join(cdir, f"init_{case}_p{s}_{args.scale:g}.pt")
             perturb_init(init, pert, args.scale, seed=s)
-            variants.append((f"p{s}", pert))
+            variants.append((f"p{s}_{args.scale:g}", pert))
         for variant, vinit in variants:
             vdir = os.path.join(cdir, variant)
             out = os.path.join(vdir, f"ref_{case}.json")
-            if os.path.exists(out):
-                jobs.append((case, variant, None, out))
-                continue
-            os.makedirs(vdir, exist_ok=True)
-            # Share the generated dataset: run_reference regenerates it per
-            # workdir deterministically anyway, but a symlink skips the work.
-            data_link = os.path.join(vdir, "data")
-            if not os.path.exists(data_link):
-                os.symlink(os.path.join(cdir, "data"), data_link)
-            proc = launch_reference(case, vdir, vinit,
-                                    os.path.join(cdir, f"ref_{variant}.log"))
-            jobs.append((case, variant, proc, out))
-
-    deadline = time.time() + args.timeout
-    results = {}
-    for case, variant, proc, out in jobs:
-        if proc is not None:
-            rc = proc.wait(timeout=max(60, deadline - time.time()))
-            if rc != 0 or not os.path.exists(out):
-                print(f"[perturb] {case}/{variant} FAILED rc={rc}")
-                continue
-        with open(out) as f:
-            results.setdefault(case, {})[variant] = json.load(f)
+            if not os.path.exists(out):
+                if time.time() > deadline:
+                    print(f"[perturb] deadline hit; skipping {case}/{variant}")
+                    continue
+                os.makedirs(vdir, exist_ok=True)
+                # Share the generated dataset: run_reference regenerates it
+                # per workdir deterministically; a symlink skips the work.
+                data_link = os.path.join(vdir, "data")
+                if not os.path.exists(data_link):
+                    os.symlink(os.path.join(cdir, "data"), data_link)
+                rc = run_reference(case, vdir, vinit,
+                                   os.path.join(cdir, f"ref_{variant}.log"))
+                if rc != 0 or not os.path.exists(out):
+                    print(f"[perturb] {case}/{variant} FAILED rc={rc}")
+                    continue
+            with open(out) as f:
+                results.setdefault(case, {})[variant] = json.load(f)
 
     # Comparison vs the committed study.
     committed_path = os.path.join(REPO, "parity_results.json")
@@ -182,6 +187,11 @@ def main():
             if perts:
                 row["noise_floor"] = max(abs(pv - base[metric])
                                          for pv in perts)
+                devs = [pv - base[metric] for pv in perts]
+                # RMS deviation from det — the σ_ref that enters the PARITY
+                # pass criterion (gap ≤ max(1e-3, 2·sqrt(σ_ref²+σ_gaot²))).
+                row["noise_rms"] = (sum(d * d for d in devs)
+                                    / len(devs)) ** 0.5
                 row["pert_values"] = perts
             if ref0.get(metric) is not None and gaot.get(metric) is not None:
                 row["ref_vs_gaot_gap"] = abs(ref0[metric] - gaot[metric])

@@ -78,11 +78,22 @@ def main():
 
         def _nudge(w):
             a = np.asarray(w)
-            if a.dtype.kind == "f" and a.size > 1:
-                std = float(a.std()) or float(np.abs(a).max()) or 1.0
-                a = a + (args.perturb_scale * std
-                         * rng.standard_normal(a.shape)).astype(a.dtype)
-            return jnp.asarray(a)
+            if a.dtype.kind != "f":
+                return w
+            # std==0 (incl. size-1 leaves) falls back to abs-max then 1.0 so
+            # EVERY float leaf is perturbed, matching the --perturb-scale help.
+            std = float(a.std()) or float(np.abs(a).max()) or 1.0
+            noise = args.perturb_scale * std * rng.standard_normal(a.shape)
+            # Add in float32+ so a sub-ulp nudge on low-precision params does
+            # not silently round back to the original values.
+            out = (a.astype(np.float64) + noise).astype(a.dtype)
+            if np.array_equal(out, a):
+                print(f"WARNING: perturbation below ulp for a leaf of shape "
+                      f"{a.shape} dtype {a.dtype}; run is effectively det")
+            out = jnp.asarray(out)
+            if isinstance(w, jax.Array):
+                out = jax.device_put(out, w.sharding)
+            return out
 
         trainer.params = jax.tree.map(_nudge, trainer.params)
         print(f"perturbed init: scale={args.perturb_scale} "
