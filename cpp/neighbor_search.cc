@@ -16,6 +16,7 @@
 #include <cstring>
 #include <thread>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -76,6 +77,19 @@ struct Grid {
     for (auto& kv : buckets) {
       kv.second.first = kv.second.second - counts[kv.first];
     }
+  }
+
+  void base_cell(const float* q, int64_t* base) const {
+    base[0] = base[1] = base[2] = 0;
+    for (int k = 0; k < dim; ++k)
+      base[k] = (int64_t)std::floor((q[k] - lo[k]) * inv_cell);
+  }
+
+  template <typename Fn>
+  void for_each_in_cell(int64_t cx, int64_t cy, int64_t cz, Fn&& fn) const {
+    auto it = buckets.find(key3(cx, cy, cz));
+    if (it == buckets.end()) return;
+    for (int64_t s = it->second.first; s < it->second.second; ++s) fn(order[s]);
   }
 
   template <typename Fn>
@@ -159,6 +173,101 @@ int gaot_radius_fill(const float* data, int64_t n, const float* queries,
       int64_t w = row_splits[i];
       grid.for_each_in_radius(queries + i * dim, radius,
                               [&](int64_t j) { out_index[w++] = j; });
+    }
+  });
+  return 0;
+}
+
+// k nearest neighbors per query, rows sorted by (distance, index).
+// `out_index` must hold q*k entries; requires 1 <= k <= n (the Python wrapper
+// clamps k). Grid ring-expansion search: the cell size is chosen so a cell
+// holds ~k points on average, and rings are expanded until the k-th best
+// distance is provably closer than anything in the next unexplored ring
+// (points in Chebyshev ring rho+1 are >= rho*cell away from the query).
+int gaot_knn(const float* data, int64_t n, const float* queries, int64_t q,
+             int dim, int64_t k, int64_t* out_index) {
+  if (dim != 2 && dim != 3) return 1;
+  if (k < 1 || k > n) return 3;
+
+  // Bounding-box extents -> density-matched cell size.
+  float lo[3] = {0, 0, 0}, hi[3] = {0, 0, 0};
+  for (int a = 0; a < dim; ++a) {
+    float mn = data[a], mx = data[a];
+    for (int64_t i = 1; i < n; ++i) {
+      const float v = data[i * dim + a];
+      mn = std::min(mn, v);
+      mx = std::max(mx, v);
+    }
+    lo[a] = mn;
+    hi[a] = mx;
+  }
+  float volume = 1.f, max_extent = 0.f;
+  for (int a = 0; a < dim; ++a) {
+    const float ext = std::max(hi[a] - lo[a], 1e-9f);
+    volume *= ext;
+    max_extent = std::max(max_extent, ext);
+  }
+  float cell = std::pow(volume * (float)k / (float)n, 1.0f / (float)dim);
+  cell = std::max(cell, max_extent * 1e-6f);
+
+  Grid grid;
+  grid.build(data, n, dim, cell);
+
+  parallel_for(q, [&](int64_t begin, int64_t end) {
+    // Max-heap of (dist2, index): top = current k-th best.
+    std::vector<std::pair<float, int64_t>> heap;
+    heap.reserve(k);
+    for (int64_t i = begin; i < end; ++i) {
+      const float* qp = queries + i * (int64_t)dim;
+      heap.clear();
+      int64_t base[3];
+      grid.base_cell(qp, base);
+      // Enough rings to reach every data cell even when the query sits far
+      // outside the data bounding box.
+      float reach = 0.f;
+      for (int a = 0; a < dim; ++a)
+        reach = std::max(reach, std::max(std::abs(qp[a] - lo[a]),
+                                         std::abs(hi[a] - qp[a])));
+      const int64_t max_ring = (int64_t)std::ceil(reach / cell) + 2;
+      auto visit = [&](int64_t j) {
+        const float* p = data + j * (int64_t)dim;
+        float d2 = 0.f;
+        for (int a = 0; a < dim; ++a) {
+          const float diff = p[a] - qp[a];
+          d2 += diff * diff;
+        }
+        const std::pair<float, int64_t> cand(d2, j);
+        if ((int64_t)heap.size() < k) {
+          heap.push_back(cand);
+          std::push_heap(heap.begin(), heap.end());
+        } else if (cand < heap.front()) {
+          std::pop_heap(heap.begin(), heap.end());
+          heap.back() = cand;
+          std::push_heap(heap.begin(), heap.end());
+        }
+      };
+      for (int64_t rho = 0; rho <= max_ring; ++rho) {
+        if ((int64_t)heap.size() == k && rho > 0) {
+          const float bound = (float)(rho - 1) * cell;
+          if (heap.front().first <= bound * bound) break;
+        }
+        const int64_t zlo = dim == 3 ? -rho : 0, zhi = dim == 3 ? rho : 0;
+        for (int64_t dx = -rho; dx <= rho; ++dx)
+          for (int64_t dy = -rho; dy <= rho; ++dy)
+            for (int64_t dz = zlo; dz <= zhi; ++dz) {
+              const int64_t cheb = std::max(
+                  std::abs(dx), std::max(std::abs(dy), std::abs(dz)));
+              if (cheb != rho) continue;  // only the new shell
+              grid.for_each_in_cell(base[0] + dx, base[1] + dy, base[2] + dz,
+                                    visit);
+            }
+      }
+      std::sort(heap.begin(), heap.end());
+      // max_ring covers the whole box, so heap holds exactly k (k <= n);
+      // defensively pad with -1 rather than skipping later queries.
+      for (int64_t s = 0; s < k; ++s)
+        out_index[i * k + s] =
+            s < (int64_t)heap.size() ? heap[s].second : int64_t(-1);
     }
   });
   return 0;

@@ -30,7 +30,7 @@ class DataProcessor:
     """Loads, splits, and normalizes a static dataset."""
 
     def __init__(self, dataset_config: DatasetConfig, metadata: Metadata,
-                 dtype=np.float32):
+                 dtype=np.float32, seed: int = 0):
         self.dataset_config = dataset_config
         self.metadata = metadata
         self.dtype = dtype
@@ -39,7 +39,12 @@ class DataProcessor:
         self.c_mean: Optional[np.ndarray] = None
         self.c_std: Optional[np.ndarray] = None
         self.coord_scaler: Optional[CoordinateScaler] = None
-        self.rng = np.random.default_rng(0)
+        # Split permutations derive from the experiment seed (the reference
+        # draws them from the globally seeded numpy state,
+        # src/core/base_trainer.py:60 + data_processor.py:206-207). Unlike
+        # the reference's seed+rank offset, the SAME seed is used on every
+        # host so multi-host splits agree — see base_trainer.py:75-83.
+        self.rng = np.random.default_rng(seed)
 
     # ------------------------------------------------------------------
     def load_and_process_data(self) -> Tuple[Dict, bool]:

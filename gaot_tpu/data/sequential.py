@@ -95,8 +95,8 @@ class SequentialDataProcessor(DataProcessor):
     """Loads sequential datasets, keeping the time dimension, and computes
     the sequential statistics used for per-pair normalization."""
 
-    def __init__(self, dataset_config, metadata, dtype=np.float32):
-        super().__init__(dataset_config, metadata, dtype)
+    def __init__(self, dataset_config, metadata, dtype=np.float32, seed: int = 0):
+        super().__init__(dataset_config, metadata, dtype, seed=seed)
         self.t_values: Optional[np.ndarray] = None
         self.stats: Optional[Dict] = None
         self.max_time_diff = dataset_config.max_time_diff

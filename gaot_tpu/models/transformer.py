@@ -25,6 +25,22 @@ from ..parallel.spatial import shard_queries
 from .mlp import ConditionedNorm
 
 
+_DROPOUT_BYPASS_WARNED = False
+
+
+def _warn_dropout_bypass_once():
+    """One log line when attention dropout forces the XLA path on TPU —
+    without it a config that merely enables atten_dropout silently loses
+    the ~3x Pallas flash kernel."""
+    global _DROPOUT_BYPASS_WARNED
+    if not _DROPOUT_BYPASS_WARNED:
+        _DROPOUT_BYPASS_WARNED = True
+        print("[gaot_tpu] atten_dropout > 0: Pallas flash attention has no "
+              "dropout support; using the XLA attention path (slower). Set "
+              "transformer.atten_dropout=0 to re-enable the fused kernel.",
+              flush=True)
+
+
 class RMSNorm(nn.Module):
     """Root-mean-square LayerNorm (reference src/model/layers/attn.py:161-172)."""
 
@@ -143,6 +159,8 @@ class GroupQueryAttention(nn.Module):
 
             on_tpu = jax.default_backend() == "tpu"
             backend = "pallas" if on_tpu and dropout_rng is None else "xla"
+            if on_tpu and dropout_rng is not None:
+                _warn_dropout_bypass_once()
         if backend == "pallas":
             from ..ops.pallas.flash_attention import flash_attention_gqa
 

@@ -43,6 +43,11 @@ class NativeLib:
             f32p, ctypes.c_int64, f32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_float, i64p, i64p,
         ]
+        self._lib.gaot_knn.restype = ctypes.c_int
+        self._lib.gaot_knn.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, i64p,
+        ]
         self._lib.gaot_gather_rows.restype = ctypes.c_int
         self._lib.gaot_gather_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p,
@@ -72,6 +77,22 @@ class NativeLib:
         if rc != 0:
             raise RuntimeError(f"gaot_radius_fill failed with code {rc}")
         return index, row_splits
+
+    def knn_search(self, data: np.ndarray, queries: np.ndarray,
+                   k: int) -> np.ndarray:
+        """[q, k] indices of the k nearest data points per query, each row
+        sorted by (distance, index). Requires 1 <= k <= len(data)."""
+        assert data.dtype == np.float32 and queries.dtype == np.float32
+        n, dim = data.shape
+        q = queries.shape[0]
+        out = np.empty((q, int(k)), dtype=np.int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        rc = self._lib.gaot_knn(
+            data.ctypes.data_as(f32p), n, queries.ctypes.data_as(f32p), q,
+            dim, int(k), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise RuntimeError(f"gaot_knn failed with code {rc}")
+        return out
 
     def gather_rows(self, src: np.ndarray, idx: np.ndarray,
                     num_threads: int = 0) -> np.ndarray:

@@ -117,18 +117,31 @@ def radius_search(data, queries, radius: float, method: str = "auto") -> CSR:
 def knn_search(data, queries, k: int, method: str = "auto") -> CSR:
     """k nearest neighbors of each query, as CSR (every row has exactly k).
 
-    All backends route to the scipy cKDTree (multi-threaded): kNN has no
-    native/grid implementation, so non-default method values are accepted
-    with a warning instead of being silently ignored.
+    Backends: ``cpp`` (native grid ring-expansion search, gaot_knn in
+    cpp/neighbor_search.cc, 2D/3D) and ``kdtree`` (scipy cKDTree); ``auto``
+    prefers cpp. There is no 'grid' kNN backend — unlike radius search the
+    reference has no kNN implementation at all (its MAGNOConfig declares
+    neighbor_strategy='knn' as supported, src/model/layers/magno.py:59, but
+    _compute_neighbors only ever scales the radius, :186-209), so the method
+    set here is ours to define and unknown values are rejected.
     """
-    if method not in ("auto", "kdtree"):
-        import warnings
-
-        warnings.warn(f"knn_search: method '{method}' is not implemented for "
-                      "kNN; using the multi-threaded KD-tree backend")
     data = _as2d(data)
     queries = _as2d(queries)
     k = min(k, data.shape[0])
+    if method not in ("auto", "cpp", "kdtree"):
+        raise ValueError(f"Unknown kNN search method: {method}")
+    if method in ("auto", "cpp"):
+        lib = get_native_lib()
+        if lib is not None and data.shape[1] in (2, 3):
+            data32 = np.ascontiguousarray(data, dtype=np.float32)
+            queries32 = np.ascontiguousarray(queries, dtype=np.float32)
+            idx = lib.knn_search(data32, queries32, k)
+            row_splits = np.arange(queries.shape[0] + 1, dtype=np.int64) * k
+            return idx.reshape(-1), row_splits
+        if method == "cpp":
+            raise RuntimeError(
+                "knn_search(method='cpp'): native library unavailable or "
+                f"unsupported dim {data.shape[1]} (2D/3D only)")
     from scipy.spatial import cKDTree
 
     tree = cKDTree(data)

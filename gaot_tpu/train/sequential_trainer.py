@@ -74,7 +74,8 @@ class SequentialTrainer(BaseTrainer):
     # ------------------------------------------------------------------
     def init_dataset(self, dataset_config):
         self.data_processor = SequentialDataProcessor(dataset_config, self.metadata,
-                                                      dtype=np.float32)
+                                                      dtype=np.float32,
+                                                      seed=self.setup_config.seed)
         splits, is_vx = self.data_processor.load_and_process_data()
         self.splits = splits
         self.coord_mode = "vx" if is_vx else "fx"

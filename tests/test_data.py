@@ -59,6 +59,28 @@ def test_data_processor_normalization(tmp_path):
     assert lat.min() == -1.0 and lat.max() == 1.0
 
 
+def test_rand_dataset_splits_follow_seed(tmp_path):
+    """Split permutations derive from the experiment seed (the reference draws
+    them from the globally seeded numpy state, src/core/base_trainer.py:60 +
+    src/datasets/data_processor.py:206-207): different seeds -> different
+    rand_dataset splits; the same seed -> bit-identical splits."""
+    make_static_fx_dataset(str(tmp_path / "toy.npz"), num_samples=64, num_nodes=16)
+    cfg = merge_config(DatasetConfig, {
+        "name": "toy", "metaname": "elliptic_pdes/Poisson-Gauss",
+        "base_path": str(tmp_path), "train_size": 32, "val_size": 8,
+        "test_size": 8, "rand_dataset": True})
+    md = DATASET_METADATA[cfg.metaname]
+
+    def train_u(seed):
+        proc = DataProcessor(cfg, md, seed=seed)
+        splits, _ = proc.load_and_process_data()
+        return splits["train"]["u"]
+
+    a, b, c = train_u(0), train_u(1), train_u(0)
+    np.testing.assert_array_equal(a, c)
+    assert not np.array_equal(a, b)
+
+
 def test_batch_loader_padding_and_mask():
     data = np.arange(10, dtype=np.float32)
     loader = BatchLoader(10, 4, lambda idx: {"x": data[idx]})
@@ -124,6 +146,15 @@ def test_vx_graph_cache_roundtrip(tmp_path):
 
 
 def test_knn_strategy_builder():
+    """Pins the kNN multi-scale rule: scale s maps k -> round(knn_k * s).
+
+    This is OUR semantics, not the reference's: the reference declares
+    neighbor_strategy='knn' as supported (src/model/layers/magno.py:59) but
+    never implements it — _compute_neighbors always runs a radius search with
+    scaled_radius = radius * scale (:186-209). The kNN analogue of "a larger
+    scale sees a larger neighborhood" is a proportionally larger k; in d
+    dimensions radius*s covers ~s^d times the points, so k*s is the more
+    conservative growth. Pinned here so the rule is a documented contract."""
     rng = np.random.default_rng(1)
     coords = rng.uniform(-1, 1, (100, 2))
     lat = rng.uniform(-1, 1, (30, 2))
@@ -132,6 +163,9 @@ def test_knn_strategy_builder():
     assert (enc[0].mask.sum(-1) == 5).all()
     assert (enc[1].mask.sum(-1) == 10).all()  # scale multiplies k
     assert (dec[0].mask.sum(-1) == 5).all()
+    # fractional scales round to the nearest k and never drop below 1
+    assert builder._search(coords, lat, 0.0, scale=0.5)[1][1] == 2  # round(2.5)
+    assert builder._search(coords, lat, 0.0, scale=0.01)[1][1] == 1
 
 
 def test_prefetch_loader_matches_direct_iteration():

@@ -61,6 +61,51 @@ def test_knn_search():
         assert set(idx[rs[qi]:rs[qi + 1]]) == expected
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_knn_backends_agree(dim):
+    """Native gaot_knn (cpp/neighbor_search.cc) vs scipy cKDTree.
+
+    The native path computes fp32 distances while scipy uses f64, so near-tie
+    selections at the k boundary may legitimately differ; compare the per-rank
+    f64 distances rather than demanding identical index sets.
+    """
+    rng = np.random.default_rng(3)
+    data = rng.uniform(-1, 1, (1500, dim))
+    queries = rng.uniform(-1.2, 1.2, (200, dim))
+    k = 7
+    idx_c, rs_c = knn_search(data, queries, k, method="cpp")
+    idx_t, rs_t = knn_search(data, queries, k, method="kdtree")
+    assert rs_c[-1] == rs_t[-1] == 200 * k
+    idx_c = idx_c.reshape(200, k)
+    idx_t = idx_t.reshape(200, k)
+    d_c = np.linalg.norm(data[idx_c] - queries[:, None], axis=-1)
+    d_t = np.linalg.norm(data[idx_t] - queries[:, None], axis=-1)
+    np.testing.assert_allclose(np.sort(d_c, axis=1), np.sort(d_t, axis=1),
+                               rtol=1e-5, atol=1e-6)
+    # cpp rows come back sorted by distance
+    assert (np.diff(d_c, axis=1) >= -1e-6).all()
+
+
+def test_knn_cpp_far_query_and_k_clamp():
+    """Queries far outside the data bounding box still find their k nearest;
+    k > n clamps to n (wrapper rule)."""
+    rng = np.random.default_rng(4)
+    data = rng.uniform(0, 1, (50, 2))
+    queries = np.array([[25.0, -13.0], [0.5, 0.5]])
+    idx, rs = knn_search(data, queries, k=3, method="cpp")
+    for qi in range(2):
+        d = np.linalg.norm(data - queries[qi], axis=1)
+        assert set(idx[rs[qi]:rs[qi + 1]]) == set(np.argsort(d)[:3])
+    idx, rs = knn_search(data[:4], queries, k=9, method="cpp")
+    assert rs[-1] == 2 * 4  # clamped to n=4
+
+
+def test_knn_unknown_method_rejected():
+    data = np.zeros((5, 2))
+    with pytest.raises(ValueError, match="Unknown kNN"):
+        knn_search(data, data, k=2, method="grid")
+
+
 def test_pad_csr_roundtrip():
     idx = np.array([3, 1, 4, 1, 5, 9, 2], dtype=np.int64)
     rs = np.array([0, 2, 2, 5, 7], dtype=np.int64)
