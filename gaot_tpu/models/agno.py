@@ -199,6 +199,9 @@ class AGNO(nn.Module):
         coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly."""
         idx_t = graph.indices.T                                  # [K, Q]
         mask_t = graph.mask.T
+        if self._use_fused_km(y, x, f_y, weights, idx_t):
+            return self._fused_flat_km(y, x, f_y, idx_t, graph.mask, tgraph,
+                                       num_samples)
         if rep_km is None:
             rep_km = y[idx_t]                                    # [K, Q, d1]
         self_c = x[None, :, :]                                   # [1, Q, d2]
@@ -223,6 +226,60 @@ class AGNO(nn.Module):
         return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph.edge_pos,
                                          tgraph.query, tgraph.mask,
                                          num_samples)
+
+    def _use_fused_km(self, y, x, f_y, weights, idx_t) -> bool:
+        """Route to the fused per-edge Pallas pipeline
+        (ops/pallas/fused_agno.py) when the configuration and shapes allow:
+        bf16 compute on TPU, coordinate-only (linear) kernel on raw 2D/3D
+        coords, cosine or no attention, no quadrature weights. fp32 (the
+        convergence-parity configuration) always keeps the XLA path.
+        GAOT_FUSED_AGNO=0 disables; =1 forces (tests, interpret mode)."""
+        import os
+
+        import jax
+
+        force = os.environ.get("GAOT_FUSED_AGNO")
+        if force == "0":
+            return False
+        d = y.shape[-1]
+        c_f = f_y.shape[-1]
+        if (weights is not None or d not in (2, 3) or x.shape[-1] != d
+                or self.channel_mlp_features[-1] != c_f
+                or (self.use_attn and self.attention_type != "cosine")):
+            return False
+        if force != "1" and not (jax.default_backend() == "tpu"
+                                 and self.dtype == jnp.bfloat16
+                                 and f_y.dtype == jnp.bfloat16):
+            return False
+        from ..ops.pallas.fused_agno import fused_supported
+
+        k, q = idx_t.shape
+        return fused_supported(k, q, c_f + d, c_f, d,
+                               len(self.channel_mlp_features),
+                               f_y.dtype) > 0
+
+    def _mlp_params(self, in_dim: int, dtype):
+        """Materialize the kernel-MLP params and return them as raw arrays
+        (the fused Pallas op consumes them directly; the dummy call only
+        creates/looks up the flax variables and is dead code afterwards)."""
+        self.channel_mlp(jnp.zeros((1, in_dim), dtype))
+        p = self.channel_mlp.variables["params"]
+        n = len(self.channel_mlp_features)
+        ws = tuple(p[f"dense_{i}"]["kernel"] for i in range(n))
+        bs = tuple(p[f"dense_{i}"]["bias"] for i in range(n))
+        return ws, bs
+
+    def _fused_flat_km(self, y, x, f_y, idx_t, mask_q, tgraph, num_samples):
+        from ..ops.gather_apply import fused_gather_agno_km
+
+        d = y.shape[-1]
+        c_f = f_y.shape[-1]
+        ws, bs = self._mlp_params(2 * d, f_y.dtype)
+        f_aug = jnp.concatenate([f_y, y.astype(f_y.dtype)], axis=-1)
+        return fused_gather_agno_km(
+            c_f, d, self.use_attn, num_samples, ws, bs, f_aug, idx_t,
+            x.astype(f_y.dtype), mask_q, tgraph.edge_pos, tgraph.query,
+            tgraph.mask)
 
     def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
                      weights: Optional[jnp.ndarray]) -> jnp.ndarray:

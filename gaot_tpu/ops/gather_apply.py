@@ -143,6 +143,61 @@ def _km_bwd(num_samples, res, dout):
 gather_multiply_reduce_km.defvjp(_km_fwd, _km_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_gather_agno_km(c_f: int, d: int, use_attn: bool, num_samples: int,
+                         ws, bs, f_aug, idx_t, dst_q, mask_q,
+                         edge_pos, tquery, tmask):
+    """Fully-fused flat AGNO transform: ONE bulk row gather of
+    f_aug = [f | src_coords] followed by the fused Pallas per-edge pipeline
+    (ops/pallas/fused_agno.py) — kernel MLP, cosine attention / mean fold,
+    masked K-reduce — with the per-edge activations resident in VMEM.
+
+    ws/bs: kernel-MLP params; f_aug: [N, CG] with the c_f feature columns
+    followed by d coordinate columns; idx_t: [K, Q]; dst_q: [Q, d] query
+    coords; mask_q: [Q, K]; edge_pos/tquery/tmask: the transpose graph
+    (d_f backward). Returns [Q, c_f].
+
+    Backward: one fused Pallas pass recomputes the pipeline, emitting dW/db
+    and the edge-major coefficient; d_f then runs through the existing
+    transpose-graph machinery (_flat_df, with the per-sample-slab scan).
+    """
+    return _fused_km_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
+                         idx_t, dst_q, mask_q, edge_pos, tquery, tmask)[0]
+
+
+def _fused_km_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug, idx_t,
+                  dst_q, mask_q, edge_pos, tquery, tmask):
+    from .pallas.fused_agno import fused_agno_fwd
+
+    gath = _bulk_gather(f_aug, idx_t)                     # [K, Q, CG]
+    out = fused_agno_fwd(ws, bs, gath, dst_q, mask_q, c_f=c_f, d=d,
+                         use_attn=use_attn)
+    return out, (ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask)
+
+
+def _fused_km_bwd(c_f, d, use_attn, num_samples, res, dout):
+    from .pallas.fused_agno import fused_agno_bwd
+
+    ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask = res
+    f_dtype = gath.dtype
+    dout = dout.astype(f_dtype)
+    coef_e, dws, dbs = fused_agno_bwd(ws, bs, gath, dst_q, mask_q, dout,
+                                      c_f=c_f, d=d, use_attn=use_attn)
+    d_f = _flat_df(coef_e, dout, edge_pos, tquery, tmask, num_samples)
+    cg = gath.shape[-1]
+    d_f_aug = jnp.pad(d_f, ((0, 0), (0, cg - c_f)))       # coords: no grad
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
+            tuple(db.astype(b.dtype) for db, b in zip(dbs, bs)),
+            d_f_aug.astype(f_dtype),
+            jnp.zeros(mask_q.T.shape, jnp.int32),         # idx_t
+            jnp.zeros_like(dst_q), zeros_i(mask_q),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+fused_gather_agno_km.defvjp(_fused_km_fwd, _fused_km_bwd)
+
+
 def _bulk_gather(f2d, indices):
     """Leading-axis row gather with a forced materialization boundary.
 
