@@ -227,13 +227,13 @@ class AGNO(nn.Module):
                                          tgraph.query, tgraph.mask,
                                          num_samples)
 
-    def _use_fused_km(self, y, x, f_y, weights, idx_t) -> bool:
-        """Route to the fused per-edge Pallas pipeline
-        (ops/pallas/fused_agno.py) when the configuration and shapes allow:
-        bf16 compute on TPU, coordinate-only (linear) kernel on raw 2D/3D
-        coords, cosine or no attention, no quadrature weights. fp32 (the
-        convergence-parity configuration) always keeps the XLA path.
-        GAOT_FUSED_AGNO=0 disables; =1 forces (tests, interpret mode)."""
+    def _fused_config_ok(self, y, x, f_y, weights) -> bool:
+        """Config-level gate for the fused per-edge Pallas pipeline
+        (ops/pallas/fused_agno.py): bf16 compute on TPU, coordinate-only
+        (linear) kernel on raw 2D/3D coords, cosine or no attention, no
+        quadrature weights. fp32 (the convergence-parity configuration)
+        always keeps the XLA path. GAOT_FUSED_AGNO=0 disables; =1 forces
+        (tests, interpret mode)."""
         import os
 
         import jax
@@ -251,8 +251,14 @@ class AGNO(nn.Module):
                                  and self.dtype == jnp.bfloat16
                                  and f_y.dtype == jnp.bfloat16):
             return False
+        return True
+
+    def _use_fused_km(self, y, x, f_y, weights, idx_t) -> bool:
+        if not self._fused_config_ok(y, x, f_y, weights):
+            return False
         from ..ops.pallas.fused_agno import fused_supported
 
+        d, c_f = y.shape[-1], f_y.shape[-1]
         k, q = idx_t.shape
         return fused_supported(k, q, c_f + d, c_f, d,
                                len(self.channel_mlp_features),
@@ -280,6 +286,41 @@ class AGNO(nn.Module):
             c_f, d, self.use_attn, num_samples, ws, bs, f_aug, idx_t,
             x.astype(f_y.dtype), mask_q, tgraph.edge_pos, tgraph.query,
             tgraph.mask)
+
+    def _use_fused_bucketed(self, y, x, f_y, weights, bg) -> bool:
+        if not self._fused_config_ok(y, x, f_y, weights):
+            return False
+        from ..ops.pallas.fused_agno import fused_supported
+
+        d, c_f = y.shape[-1], f_y.shape[-1]
+        n_layers = len(self.channel_mlp_features)
+        return all(
+            fused_supported(g.indices.shape[-1], g.indices.shape[-2],
+                            c_f + d, c_f, d, n_layers, f_y.dtype) > 0
+            for g in bg.buckets)
+
+    def _fused_bucketed(self, y, x, f_y, bg: BucketedGraph, num_samples):
+        """Per-bucket fused Pallas pipeline over the degree buckets; the
+        combined transpose-graph d_f pass is shared with the XLA bucketed
+        path (ops/gather_apply.py::fused_bucketed_agno)."""
+        from ..ops.gather_apply import fused_bucketed_agno
+
+        d = y.shape[-1]
+        c_f = f_y.shape[-1]
+        ws, bs = self._mlp_params(2 * d, f_y.dtype)
+        f_aug = jnp.concatenate([f_y, y.astype(f_y.dtype)], axis=-1)
+        dst_qs, masks, indices, offset = [], [], [], 0
+        x_c = x.astype(f_y.dtype)
+        for g in bg.buckets:
+            nb = g.indices.shape[-2]
+            dst_qs.append(x_c[offset:offset + nb])
+            masks.append(g.mask)
+            indices.append(g.indices)
+            offset += nb
+        return fused_bucketed_agno(
+            c_f, d, self.use_attn, num_samples, ws, bs, f_aug,
+            tuple(indices), tuple(dst_qs), tuple(masks),
+            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
 
     def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
                      weights: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -330,6 +371,9 @@ class AGNO(nn.Module):
         # coefs) — both take the combined custom-VJP path.
         combined = (multiply_f and not nonlinear and bg.tgraph is not None
                     and f_y.ndim in (2, 3))
+        if (combined and f_y.ndim == 2
+                and self._use_fused_bucketed(y, x, f_y, weights, bg)):
+            return self._fused_bucketed(y, x, f_y, bg, num_samples)
         parts, offset = [], 0
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]

@@ -198,6 +198,88 @@ def _fused_km_bwd(c_f, d, use_attn, num_samples, res, dout):
 fused_gather_agno_km.defvjp(_fused_km_fwd, _fused_km_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_bucketed_agno(c_f: int, d: int, use_attn: bool, num_samples: int,
+                        ws, bs, f_aug, indices, dst_qs, masks,
+                        edge_pos, tquery, tmask):
+    """Fused per-edge AGNO over a degree-bucketed graph (vx-flattened).
+
+    Per bucket: ONE bulk row gather of f_aug = [f | src_coords] by that
+    bucket's [Qb, Kb] indices, then the fused Pallas pipeline
+    (ops/pallas/fused_agno.py) — kernel MLP, cosine attention / mean fold,
+    masked Kb-reduce — with per-edge activations in VMEM. Outputs concatenate
+    in bucket row order (the caller unpermutes), replacing the XLA
+    _folded_coef + bucketed_gather_multiply_reduce chain.
+
+    indices/dst_qs/masks: per-bucket [Qb, Kb] / [Qb, d] / [Qb, Kb] tuples;
+    edge_pos/tquery/tmask: the COMBINED transpose graph in bucket-
+    concatenated edge space (ops/padding.py::transpose_bucket_edges).
+    Returns [R, c_f] with R = Σ Qb.
+
+    Backward: per-bucket fused Pallas passes emit dW/db (summed across
+    buckets) and the per-bucket edge-major coefficient — exactly the
+    bucket-concatenated edge numbering the combined d_f pass expects
+    (_bucketed_df, with the per-sample-slab scan).
+    """
+    return _fused_bucketed_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
+                               indices, dst_qs, masks, edge_pos, tquery,
+                               tmask)[0]
+
+
+def _fused_bucketed_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
+                        indices, dst_qs, masks, edge_pos, tquery, tmask):
+    from .pallas.fused_agno import fused_agno_fwd
+
+    outs, gaths = [], []
+    for idx, dst, m in zip(indices, dst_qs, masks):
+        gath = _bulk_gather(f_aug, idx.T)                 # [Kb, Qb, CG]
+        gaths.append(gath)
+        outs.append(fused_agno_fwd(ws, bs, gath, dst, m, c_f=c_f, d=d,
+                                   use_attn=use_attn))
+    out = jnp.concatenate(outs, axis=0)
+    return out, (ws, bs, tuple(gaths), dst_qs, masks, edge_pos, tquery,
+                 tmask)
+
+
+def _fused_bucketed_bwd(c_f, d, use_attn, num_samples, res, dout):
+    from .pallas.fused_agno import fused_agno_bwd
+
+    ws, bs, gaths, dst_qs, masks, edge_pos, tquery, tmask = res
+    f_dtype = gaths[0].dtype
+    cg = gaths[0].shape[-1]
+    dout = dout.astype(f_dtype)
+
+    coefs, dws_sum, dbs_sum, off = [], None, None, 0
+    for gath, dst, m in zip(gaths, dst_qs, masks):
+        kb, qb = gath.shape[0], gath.shape[1]
+        coef_e, dws, dbs = fused_agno_bwd(
+            ws, bs, gath, dst, m, dout[off:off + qb], c_f=c_f, d=d,
+            use_attn=use_attn)
+        off += qb
+        coefs.append(coef_e.reshape(qb, kb, c_f))
+        if dws_sum is None:
+            dws_sum, dbs_sum = list(dws), list(dbs)
+        else:
+            dws_sum = [a + b_ for a, b_ in zip(dws_sum, dws)]
+            dbs_sum = [a + b_ for a, b_ in zip(dbs_sum, dbs)]
+
+    d_f = _bucketed_df(coefs, dout, edge_pos, tquery, tmask, num_samples,
+                       1, c_f)
+    d_f_aug = jnp.pad(d_f.reshape(-1, c_f),
+                      ((0, 0), (0, cg - c_f)))            # coords: no grad
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (tuple(dw.astype(w.dtype) for dw, w in zip(dws_sum, ws)),
+            tuple(db.astype(b_.dtype) for db, b_ in zip(dbs_sum, bs)),
+            d_f_aug.astype(f_dtype),
+            tuple(jnp.zeros(m.shape, jnp.int32) for m in masks),
+            tuple(jnp.zeros_like(x) for x in dst_qs),
+            tuple(zeros_i(m) for m in masks),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+fused_bucketed_agno.defvjp(_fused_bucketed_fwd, _fused_bucketed_bwd)
+
+
 def _bulk_gather(f2d, indices):
     """Leading-axis row gather with a forced materialization boundary.
 
@@ -441,28 +523,36 @@ def _bucketed_bwd(num_samples, res, dout):
             0, 1).astype(coef.dtype))
         off += qb
 
-    scannable = (num_samples > 1 and b == 1
-                 and n % num_samples == 0
-                 and all(cf.shape[0] % num_samples == 0 for cf in coefs))
-    if scannable:
-        d_f = _bucketed_df_scan(
-            [cf.astype(f_dtype) for cf in coefs], dout2, edge_pos, tquery,
-            tmask, num_samples).reshape(n, b, c).astype(f_dtype)
-    else:
-        # Gather the per-edge coefficients in the feature dtype: attention
-        # weights computed from f32 coords promote coef to f32, which
-        # doubles this latency-bound row gather's traffic.
-        coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
-                                    axis=0).astype(f_dtype)
-        cg = jnp.where(tmask.T[..., None],
-                       _bulk_gather(coef_flat, edge_pos.T), 0)    # [Kt, N, C]
-        dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
-        d_f = _mulred_k_dispatch(cg, dg_km, b).reshape(n, b, c).astype(f_dtype)
-
+    d_f = _bucketed_df(coefs, dout2, edge_pos, tquery, tmask, num_samples,
+                       b, c).reshape(n, b, c)
     zeros_i = lambda x: jnp.zeros_like(x)
     return (tuple(d_coefs), d_f,
             tuple(jnp.zeros(cf.shape[:2], jnp.int32) for cf in coefs),
             zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+def _bucketed_df(coefs, dout2, edge_pos, tquery, tmask, num_samples, b, c):
+    """Combined d_f over the bucket-concatenated transpose graph — shared by
+    the XLA-coef and fused-kernel bucketed VJPs. coefs: per-bucket
+    [Qb, Kb, C]; dout2: [R, b·C]. Returns [N, b·C]-shaped rows."""
+    f_dtype = dout2.dtype
+    n = tmask.shape[0]
+    scannable = (num_samples > 1 and b == 1
+                 and n % num_samples == 0
+                 and all(cf.shape[0] % num_samples == 0 for cf in coefs))
+    if scannable:
+        return _bucketed_df_scan(
+            [cf.astype(f_dtype) for cf in coefs], dout2, edge_pos, tquery,
+            tmask, num_samples).astype(f_dtype)
+    # Gather the per-edge coefficients in the feature dtype: attention
+    # weights computed from f32 coords promote coef to f32, which
+    # doubles this latency-bound row gather's traffic.
+    coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
+                                axis=0).astype(f_dtype)
+    cg = jnp.where(tmask.T[..., None],
+                   _bulk_gather(coef_flat, edge_pos.T), 0)    # [Kt, N, C]
+    dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
+    return _mulred_k_dispatch(cg, dg_km, b).astype(f_dtype)
 
 
 def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):

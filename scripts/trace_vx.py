@@ -59,9 +59,13 @@ def report(trace_dir, top=35):
     except ImportError:
         from tensorboard_plugin_profile.convert import raw_to_tool_data
 
-    xplanes = glob.glob(os.path.join(
-        trace_dir, "plugins", "profile", "*", "*.xplane.pb"))
-    assert xplanes, f"no xplane under {trace_dir}"
+    sessions = sorted(glob.glob(os.path.join(trace_dir, "plugins", "profile",
+                                             "*")))
+    assert sessions, f"no profile session under {trace_dir}"
+    # Only the LATEST session: feeding xplanes from several sessions makes
+    # the converter return None.
+    xplanes = glob.glob(os.path.join(sessions[-1], "*.xplane.pb"))
+    assert xplanes, f"no xplane under {sessions[-1]}"
     data = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
     payload = data[0] if isinstance(data, tuple) else data
     obj = json.loads(payload)

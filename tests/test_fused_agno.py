@@ -136,3 +136,64 @@ def test_fused_bf16_close_to_f32():
                                mask, c_f=16, d=2, use_attn=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("use_attn", [True, False])
+def test_fused_bucketed_agno_matches_xla_path(monkeypatch, use_attn):
+    """The model-level fused bucketed route (AGNO._fused_bucketed, forced via
+    GAOT_FUSED_AGNO=1 → interpret mode on CPU) agrees with the XLA bucketed
+    path on outputs AND parameter/feature gradients (same GELU-approximation
+    tolerances as the flat test)."""
+    from gaot_tpu.models.agno import AGNO
+    from gaot_tpu.ops import pad_csr, radius_search
+    from gaot_tpu.ops.padding import bucketize_graph
+
+    rng = np.random.default_rng(5)
+    n, q, d, c = 150, 200, 2, 8
+    y = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    x = rng.uniform(-1, 1, (q, d)).astype(np.float32)
+    # Heavy-tailed degrees (like a radius graph) so bucketing actually
+    # produces several K buckets (same recipe as tests/test_bucketing.py).
+    deg = np.minimum(rng.geometric(0.25, size=q), 20)
+    deg[rng.random(q) < 0.05] = 0
+    kmax = int(np.ceil(deg.max() / 8) * 8)
+    idx = np.zeros((q, kmax), dtype=np.int32)
+    msk = np.zeros((q, kmax), dtype=bool)
+    for i, dg in enumerate(deg):
+        idx[i, :dg] = rng.integers(0, n, size=dg)
+        msk[i, :dg] = True
+    from gaot_tpu.ops.padding import PaddedGraph as PG
+    g = PG(idx, msk)
+    bg = bucketize_graph(g, num_sources=n, with_transpose=True, tile=16)
+    assert bg is not None and len(bg.buckets) > 1
+    bg = jax.tree.map(jnp.asarray, bg)
+    x_cat = jnp.asarray(x)[bg.perm] * bg.row_valid[:, None]
+    f_y = rng.normal(size=(n, c)).astype(np.float32)
+
+    model = AGNO(channel_mlp_features=(16, 16, c), transform_type="linear",
+                 use_attn=use_attn, attention_type="cosine", coord_dim=d)
+    params = model.init(jax.random.key(0), jnp.asarray(y), bg, x=x_cat,
+                        f_y=jnp.asarray(f_y))
+
+    valid = np.asarray(bg.row_valid)[:, None]
+
+    def run(p, f):
+        out = model.apply(p, jnp.asarray(y), bg, x=x_cat, f_y=f)
+        return out * valid                       # pad rows: don't compare
+
+    def loss(p, f):
+        return jnp.sum(run(p, f) ** 2)
+
+    monkeypatch.setenv("GAOT_FUSED_AGNO", "0")
+    out_xla = run(params, jnp.asarray(f_y))
+    g_xla = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(f_y))
+
+    monkeypatch.setenv("GAOT_FUSED_AGNO", "1")
+    out_fused = run(params, jnp.asarray(f_y))
+    g_fused = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(f_y))
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-2, atol=2e-3)
+    for got, want in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-2, atol=5e-2)
