@@ -70,6 +70,10 @@ class BaseTrainer(ABC):
         self.datarow = datarow if datarow is not None else {}
 
         init_distributed(self.setup_config)
+        # Repo-local persistent XLA compile cache: repeat runs of the same
+        # shapes skip the scan-program (~86 s) and per-step (~40 s) compiles.
+        from ..utils.compile_cache import setup_persistent_cache
+        setup_persistent_cache()
         self.mesh = None  # built after the dataset fixes the batch size
 
         # One GLOBAL seed for params and the train-step rng: params are
@@ -247,6 +251,17 @@ class BaseTrainer(ABC):
         return lambda params, opt_state, rng, idx, mask: epoch_fn(
             params, opt_state, rng, dev, idx, mask)
 
+    def _scan_program_key(self, num_batches: int) -> str:
+        """Stable identity for the epoch-scan XLA program: same key ⇒ same
+        traced shapes ⇒ same compile cost. Keys the measured compile-time
+        registry behind ``epoch_scan=auto`` (utils/compile_cache)."""
+        dev = jax.devices()[0].device_kind.replace(" ", "_")
+        n_params = sum(int(x.size) for x in jax.tree.leaves(self.params))
+        parts = (type(self).__name__, dev, self._mesh_size(), num_batches,
+                 getattr(self.train_loader, "num_samples", 0),
+                 getattr(self.train_loader, "batch_size", 0), n_params)
+        return "scan:" + ":".join(str(p) for p in parts)
+
     def _scan_available(self) -> bool:
         if not getattr(self, "_epoch_fn_ready", False):
             if getattr(self, "_step_update", None) is None and hasattr(
@@ -294,11 +309,27 @@ class BaseTrainer(ABC):
         # epoch); else overlap host batch assembly (native multi-threaded row
         # gather) with the device step via the prefetch thread. 'auto' takes
         # the scan only when the run is long enough to amortize the scan
-        # program's extra XLA compile time (~2 min measured on v5e).
+        # program's XLA compile: amortization uses the compile time MEASURED
+        # on a previous run of this shape when available (utils/compile_cache
+        # registry, recorded below from the first-vs-second epoch dispatch
+        # gap), falling back to the 10k-step heuristic (~86 s compile /
+        # ~9 ms per-step dispatch+compile saving, measured on v5e).
+        from ..utils.compile_cache import (lookup_compile_time,
+                                           record_compile_time)
+
+        scan_key = self._scan_program_key(num_batches)
+        measured = lookup_compile_time(scan_key)
         scan_cfg = str(getattr(self.setup_config, "epoch_scan", "auto")).lower()
-        want_scan = scan_cfg in ("always", "true") or (
-            scan_cfg == "auto" and args.epoch * num_batches >= 10_000)
+        if scan_cfg in ("always", "true"):
+            want_scan = True
+        elif scan_cfg == "auto" and measured is not None:
+            # ~9 ms/step saved (dispatch latency + per-step program compile
+            # amortization) vs the measured scan compile cost.
+            want_scan = args.epoch * num_batches * 9e-3 >= measured
+        else:
+            want_scan = scan_cfg == "auto" and args.epoch * num_batches >= 10_000
         use_scan = want_scan and self._scan_available()
+        scan_epoch_times = []
         train_iter = None
         if not use_scan:
             from ..data.loader import PrefetchLoader
@@ -309,7 +340,16 @@ class BaseTrainer(ABC):
         samples_done = 0
         for epoch in range(args.epoch):
             if use_scan:
+                t_ep = time.perf_counter()
                 epoch_losses = [self.train_epoch_scan()]  # [k] device array
+                if len(scan_epoch_times) < 2:
+                    # First dispatch blocks on the scan-program compile;
+                    # first-minus-second epoch wall time ≈ compile cost.
+                    jax.block_until_ready(epoch_losses[0])
+                    scan_epoch_times.append(time.perf_counter() - t_ep)
+                    if len(scan_epoch_times) == 2:
+                        record_compile_time(scan_key, max(
+                            scan_epoch_times[0] - scan_epoch_times[1], 1.0))
                 samples_done += self.train_loader.num_samples
             else:
                 epoch_losses = []
