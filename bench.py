@@ -295,7 +295,17 @@ def device_peak_flops():
 
 def compiled_flops(jitted, *args, **kwargs):
     """Per-dispatch FLOPs from XLA's own cost model (forward + backward +
-    optimizer — everything inside the compiled program)."""
+    optimizer — everything inside the compiled program).
+
+    XLA's cost analysis cannot see inside Pallas custom calls, so the step
+    is re-lowered with every Pallas path forced off (fused AGNO, fused FFN,
+    flash attention — the env gates are read at trace time). The math is
+    identical on either path, so the pure-XLA count is the honest FLOP
+    number for the fused program's measured timing."""
+    overrides = {"GAOT_FUSED_AGNO": "0", "GAOT_FUSED_FFN": "0",
+                 "GAOT_ATTN_BACKEND": "xla"}
+    saved = {k: os.environ.get(k) for k in overrides}
+    os.environ.update(overrides)
     try:
         ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, list):
@@ -304,6 +314,12 @@ def compiled_flops(jitted, *args, **kwargs):
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
         return None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters,

@@ -149,7 +149,13 @@ class GroupQueryAttention(nn.Module):
         if self.atten_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        backend = self.backend
+        # Measurement/test override: GAOT_ATTN_BACKEND forces the backend
+        # regardless of config (read at trace time — bench.py re-lowers the
+        # step with 'xla' so cost_analysis can count attention FLOPs that
+        # are invisible inside the Pallas custom call).
+        import os
+
+        backend = os.environ.get("GAOT_ATTN_BACKEND", self.backend)
         if backend == "auto":
             # The Pallas flash kernel (fwd+bwd, no HBM [S,S] round-trip) is
             # ~3x faster than the einsum path on TPU at GAOT's sequence
