@@ -84,7 +84,8 @@ class AGNO(nn.Module):
                  weights: Optional[jnp.ndarray] = None,
                  tgraph: Optional[TransposeGraph] = None,
                  num_samples: int = 1,
-                 rep_coords: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 rep_coords: Optional[jnp.ndarray] = None,
+                 return_rep: bool = False) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -95,14 +96,21 @@ class AGNO(nn.Module):
             weights: [n] quadrature weights, or None.
             tgraph: optional transpose graph — switches the k·f reduction to
                 the scatter-free custom-VJP path (ops/gather_apply.py).
+            return_rep: fused routes only (probe with fused_flat_active /
+                fused_bucketed_active) — also return the coordinate slice of
+                the kernel's gathered rows ([K, Q, d], or a per-bucket tuple
+                of [Kb, Qb, d]) so geoembed can reuse it instead of issuing
+                its own narrow [E, d] gathers.
 
         Returns:
-            [batch, m, c_out] (batched f_y) or [m, c_out].
+            [batch, m, c_out] (batched f_y) or [m, c_out];
+            (out, rep) when return_rep.
         """
         if x is None:
             x = y
         if isinstance(graph, BucketedGraph):
-            return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
+            return self._call_bucketed(y, graph, x, f_y, weights, num_samples,
+                                       return_rep=return_rep)
 
         # K-major fast path for vx-flattened linear transforms: the coef
         # pipeline (kernel MLP, attention, masks) runs [K, Q, ·] end to end,
@@ -111,7 +119,11 @@ class AGNO(nn.Module):
         if (tgraph is not None and f_y is not None and f_y.ndim == 2
                 and self.transform_type == "linear"):
             return self._call_flat_km(y, graph, x, f_y, weights, tgraph,
-                                      num_samples, rep_coords)
+                                      num_samples, rep_coords,
+                                      return_rep=return_rep)
+        if return_rep:
+            raise ValueError("return_rep requires a fused route (probe with "
+                             "fused_flat_active / fused_bucketed_active)")
         indices, mask = graph.indices, graph.mask
 
         if rep_coords is None:
@@ -193,15 +205,23 @@ class AGNO(nn.Module):
                       x: jnp.ndarray, f_y: jnp.ndarray,
                       weights: Optional[jnp.ndarray],
                       tgraph: TransposeGraph, num_samples: int,
-                      rep_km: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      rep_km: Optional[jnp.ndarray] = None,
+                      return_rep: bool = False) -> jnp.ndarray:
         """K-major flat transform: every per-edge tensor is [K, Q, ·], the
         softmax/mask reduce over axis 0 with Q in the vector lanes, and the
-        coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly."""
+        coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly.
+
+        return_rep (fused route only): also return the [K, Q, d] coordinate
+        slice of the kernel's gathered rows for geoembed sharing."""
         idx_t = graph.indices.T                                  # [K, Q]
         mask_t = graph.mask.T
         if self._use_fused_km(y, x, f_y, weights, idx_t):
-            return self._fused_flat_km(y, x, f_y, idx_t, graph.mask, tgraph,
-                                       num_samples)
+            out, rep = self._fused_flat_km(y, x, f_y, idx_t, graph.mask,
+                                           tgraph, num_samples)
+            return (out, rep) if return_rep else out
+        if return_rep:
+            raise ValueError("return_rep requires the fused flat route "
+                             "(probe with fused_flat_active first)")
         if rep_km is None:
             rep_km = y[idx_t]                                    # [K, Q, d1]
         self_c = x[None, :, :]                                   # [1, Q, d2]
@@ -253,12 +273,21 @@ class AGNO(nn.Module):
             return False
         return True
 
+    @staticmethod
+    def _cf_padded(c_f: int) -> int:
+        """Feature width the fused kernels run at: next multiple of 8 (lane
+        alignment). The encoder's c_f=1 raw input pads to 8 — free, because
+        every per-edge block is lane-padded to 128 anyway; the zero channels
+        stay zero through the elementwise product and reduce and are sliced
+        off after the op."""
+        return -(-c_f // 8) * 8
+
     def _use_fused_km(self, y, x, f_y, weights, idx_t) -> bool:
         if not self._fused_config_ok(y, x, f_y, weights):
             return False
         from ..ops.pallas.fused_agno import fused_supported
 
-        d, c_f = y.shape[-1], f_y.shape[-1]
+        d, c_f = y.shape[-1], self._cf_padded(f_y.shape[-1])
         k, q = idx_t.shape
         return fused_supported(k, q, c_f + d, c_f, d,
                                len(self.channel_mlp_features),
@@ -275,24 +304,44 @@ class AGNO(nn.Module):
         bs = tuple(p[f"dense_{i}"]["bias"] for i in range(n))
         return ws, bs
 
+    def _pad_cf(self, f_y, ws, bs):
+        """Zero-pad the feature channels and the kernel-MLP output layer to
+        the fused kernels' lane-aligned width. Differentiable (jnp.pad's VJP
+        slices), and the padded lanes carry exact zeros: final-layer weight
+        columns are zero → kern lanes zero → product with the zero feature
+        lanes is zero → d(anything)/d(pad) is zero."""
+        c_f = f_y.shape[-1]
+        c_p = self._cf_padded(c_f)
+        if c_p == c_f:
+            return f_y, ws, bs, c_f
+        pad = c_p - c_f
+        f_y = jnp.pad(f_y, ((0, 0), (0, pad)))
+        ws = ws[:-1] + (jnp.pad(ws[-1], ((0, 0), (0, pad))),)
+        bs = bs[:-1] + (jnp.pad(bs[-1], ((0, pad),)),)
+        return f_y, ws, bs, c_p
+
     def _fused_flat_km(self, y, x, f_y, idx_t, mask_q, tgraph, num_samples):
+        """Returns (out [Q, c_f], rep [K, Q, d]) — rep is the coordinate
+        slice of the kernel's gathered rows, for geoembed sharing."""
         from ..ops.gather_apply import fused_gather_agno_km
 
         d = y.shape[-1]
         c_f = f_y.shape[-1]
         ws, bs = self._mlp_params(2 * d, f_y.dtype)
-        f_aug = jnp.concatenate([f_y, y.astype(f_y.dtype)], axis=-1)
-        return fused_gather_agno_km(
-            c_f, d, self.use_attn, num_samples, ws, bs, f_aug, idx_t,
+        f_p, ws, bs, c_p = self._pad_cf(f_y, ws, bs)
+        f_aug = jnp.concatenate([f_p, y.astype(f_y.dtype)], axis=-1)
+        out, rep = fused_gather_agno_km(
+            c_p, d, self.use_attn, num_samples, ws, bs, f_aug, idx_t,
             x.astype(f_y.dtype), mask_q, tgraph.edge_pos, tgraph.query,
             tgraph.mask)
+        return (out[..., :c_f] if c_p != c_f else out), rep
 
     def _use_fused_bucketed(self, y, x, f_y, weights, bg) -> bool:
         if not self._fused_config_ok(y, x, f_y, weights):
             return False
         from ..ops.pallas.fused_agno import fused_supported
 
-        d, c_f = y.shape[-1], f_y.shape[-1]
+        d, c_f = y.shape[-1], self._cf_padded(f_y.shape[-1])
         n_layers = len(self.channel_mlp_features)
         return all(
             fused_supported(g.indices.shape[-1], g.indices.shape[-2],
@@ -308,7 +357,8 @@ class AGNO(nn.Module):
         d = y.shape[-1]
         c_f = f_y.shape[-1]
         ws, bs = self._mlp_params(2 * d, f_y.dtype)
-        f_aug = jnp.concatenate([f_y, y.astype(f_y.dtype)], axis=-1)
+        f_p, ws, bs, c_p = self._pad_cf(f_y, ws, bs)
+        f_aug = jnp.concatenate([f_p, y.astype(f_y.dtype)], axis=-1)
         dst_qs, masks, indices, offset = [], [], [], 0
         x_c = x.astype(f_y.dtype)
         for g in bg.buckets:
@@ -317,10 +367,11 @@ class AGNO(nn.Module):
             masks.append(g.mask)
             indices.append(g.indices)
             offset += nb
-        return fused_bucketed_agno(
-            c_f, d, self.use_attn, num_samples, ws, bs, f_aug,
+        out, reps = fused_bucketed_agno(
+            c_p, d, self.use_attn, num_samples, ws, bs, f_aug,
             tuple(indices), tuple(dst_qs), tuple(masks),
             bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
+        return (out[..., :c_f] if c_p != c_f else out), reps
 
     def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
                      weights: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -351,10 +402,30 @@ class AGNO(nn.Module):
             coef = coef / counts[..., None].astype(coef.dtype)
         return jnp.where(mask[..., None], coef, 0)
 
+    def fused_flat_active(self, y, x, f_y, weights, graph,
+                          tgraph) -> bool:
+        """True iff __call__ with these operands takes the fused flat
+        K-major route (so return_rep is available and the caller should NOT
+        pre-gather rep coords)."""
+        if not (tgraph is not None and f_y is not None and f_y.ndim == 2
+                and self.transform_type == "linear"):
+            return False
+        return self._use_fused_km(y, x, f_y, weights, graph.indices.T)
+
+    def fused_bucketed_active(self, y, x, f_y, weights, bg) -> bool:
+        """True iff __call__ on this BucketedGraph takes the fused per-edge
+        route (mirrors _call_bucketed's dispatch)."""
+        nonlinear = self.transform_type in ("nonlinear",
+                                            "nonlinear_kernelonly")
+        combined = (f_y is not None and not nonlinear
+                    and bg.tgraph is not None and f_y.ndim == 2)
+        return combined and self._use_fused_bucketed(y, x, f_y, weights, bg)
+
     def _call_bucketed(self, y: jnp.ndarray, bg: BucketedGraph,
                        x: jnp.ndarray, f_y: Optional[jnp.ndarray],
                        weights: Optional[jnp.ndarray],
-                       num_samples: int = 1) -> jnp.ndarray:
+                       num_samples: int = 1,
+                       return_rep: bool = False) -> jnp.ndarray:
         """Integral transform over a degree-bucketed graph (ops/padding.py).
 
         x must be the bucket-concatenated query coords; the result is in the
@@ -373,7 +444,11 @@ class AGNO(nn.Module):
                     and f_y.ndim in (2, 3))
         if (combined and f_y.ndim == 2
                 and self._use_fused_bucketed(y, x, f_y, weights, bg)):
-            return self._fused_bucketed(y, x, f_y, bg, num_samples)
+            out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
+            return (out, reps) if return_rep else out
+        if return_rep:
+            raise ValueError("return_rep requires the fused bucketed route "
+                             "(probe with fused_bucketed_active first)")
         parts, offset = [], 0
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]

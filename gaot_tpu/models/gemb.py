@@ -255,24 +255,28 @@ class GeometricEmbedding(nn.Module):
         ``latent_queries`` already in bucket-concatenated (degree-sorted,
         tile-padded) order — the result is then in that order too, with the
         statistical standardization taken over valid rows only (identical to
-        the dense layout's over-all-queries statistics)."""
+        the dense layout's over-all-queries statistics).
+
+        nbr: pre-gathered neighbor coords — [Q, K, d] ([K, Q, d] with
+        kmajor), or for a BucketedGraph a per-bucket tuple of [Kb, Qb, d]
+        (kmajor) slices shared from the fused AGNO kernel's gather."""
         bucketed = isinstance(graph, BucketedGraph)
 
         def per_bucket(fn):
             if not bucketed:
-                return fn(latent_queries, graph)
+                return fn(latent_queries, graph, nbr)
             parts, offset = [], 0
-            for g in graph.buckets:
+            for i, g in enumerate(graph.buckets):
                 nb = g.indices.shape[-2]
-                parts.append(fn(latent_queries[offset:offset + nb], g))
+                parts.append(fn(latent_queries[offset:offset + nb], g,
+                                None if nbr is None else nbr[i]))
                 offset += nb
             return jnp.concatenate(parts, axis=0)
 
         if self.method == "statistical":
             feats = per_bucket(
-                lambda lq, g: raw_statistical_features(
-                    input_geom, lq, g, nbr=None if bucketed else nbr,
-                    kmajor=kmajor and not bucketed))
+                lambda lq, g, nb_: raw_statistical_features(
+                    input_geom, lq, g, nbr=nb_, kmajor=kmajor))
             if bucketed and num_samples > 1:
                 feats = _standardize_valid_grouped(
                     feats, graph.row_valid,

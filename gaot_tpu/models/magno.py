@@ -221,14 +221,26 @@ class _MAGNOBase(nn.Module):
         kmajor = (f_src is not None and f_src.ndim == 2 and tgraph is not None
                   and cfg.transform_type == "linear"
                   and not cfg.node_embedding)
+        # When the fused Pallas route will run, its kernel gathers
+        # f_aug = [f | src_coords] rows anyway — take the coordinate slice
+        # from it (return_rep) instead of issuing a separate [E, d] gather
+        # (narrow rows are 64×-lane-padded on TPU; these gathers measured
+        # as expensive as the fused kernel itself on the airfoil workload).
+        fused = self.agno.fused_flat_active(src_proc, dst_proc, f_src, None,
+                                            graph, tgraph)
         rep = None
-        if cfg.use_geoembed and not cfg.node_embedding:
+        if cfg.use_geoembed and not cfg.node_embedding and not fused:
             rep = (src_coords[graph.indices.T] if kmajor
                    else src_coords[graph.indices])
 
-        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
-                        tgraph=tgraph, num_samples=num_samples,
-                        rep_coords=rep)
+        if fused:
+            out, rep = self.agno(y=src_proc, graph=graph, x=dst_proc,
+                                 f_y=f_src, tgraph=tgraph,
+                                 num_samples=num_samples, return_rep=True)
+        else:
+            out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
+                            tgraph=tgraph, num_samples=num_samples,
+                            rep_coords=rep)
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples,
@@ -265,14 +277,25 @@ class _MAGNOBase(nn.Module):
         dropped = bg._replace(buckets=tuple(
             self._drop_edges(g, training) for g in bg.buckets))
 
-        cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
-                        num_samples=num_samples)
+        # Share the fused kernel's gathered coordinate rows with geoembed
+        # (per-bucket [Kb, Qb, d] slices) — see _agno_scale for rationale.
+        fused = self.agno.fused_bucketed_active(src_proc, dst_proc, f_src,
+                                                None, dropped)
+        reps = None
+        if fused:
+            cat, reps = self.agno(y=src_proc, graph=dropped, x=dst_proc,
+                                  f_y=f_src, num_samples=num_samples,
+                                  return_rep=True)
+        else:
+            cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
+                            num_samples=num_samples)
 
         if cfg.use_geoembed:
             # One geoembed call over all buckets: the statistical features
             # standardize over the full (valid) query set, exactly like the
             # dense layout.
-            gemb = self.geoembed(src_coords, dst_cat, dropped, num_samples)
+            gemb = self.geoembed(src_coords, dst_cat, dropped, num_samples,
+                                 nbr=reps, kmajor=reps is not None)
             if cat.ndim == 3:
                 gemb = jnp.broadcast_to(gemb[None], cat.shape[:1] + gemb.shape)
             cat = jnp.concatenate([cat, gemb], axis=-1)

@@ -155,7 +155,12 @@ def fused_gather_agno_km(c_f: int, d: int, use_attn: bool, num_samples: int,
     ws/bs: kernel-MLP params; f_aug: [N, CG] with the c_f feature columns
     followed by d coordinate columns; idx_t: [K, Q]; dst_q: [Q, d] query
     coords; mask_q: [Q, K]; edge_pos/tquery/tmask: the transpose graph
-    (d_f backward). Returns [Q, c_f].
+    (d_f backward). Returns (out [Q, c_f], rep [K, Q, d]) — rep is the
+    coordinate slice of the gathered rows, shared with the geometric
+    embedding so it never issues its own [E, d] gather (narrow rows are
+    64×-lane-padded on TPU; the profiler showed those gathers costing more
+    than the fused kernel itself). rep is treated as data: its cotangent is
+    discarded, exactly like the pre-gathered `src_coords[idx]` it replaces.
 
     Backward: one fused Pallas pass recomputes the pipeline, emitting dW/db
     and the edge-major coefficient; d_f then runs through the existing
@@ -172,13 +177,15 @@ def _fused_km_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug, idx_t,
     gath = _bulk_gather(f_aug, idx_t)                     # [K, Q, CG]
     out = fused_agno_fwd(ws, bs, gath, dst_q, mask_q, c_f=c_f, d=d,
                          use_attn=use_attn)
-    return out, (ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask)
+    rep = gath[:, :, c_f:c_f + d]
+    return (out, rep), (ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask)
 
 
-def _fused_km_bwd(c_f, d, use_attn, num_samples, res, dout):
+def _fused_km_bwd(c_f, d, use_attn, num_samples, res, douts):
     from .pallas.fused_agno import fused_agno_bwd
 
     ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask = res
+    dout, _ = douts          # rep is data (coords) — its cotangent is dropped
     f_dtype = gath.dtype
     dout = dout.astype(f_dtype)
     coef_e, dws, dbs = fused_agno_bwd(ws, bs, gath, dst_q, mask_q, dout,
@@ -214,7 +221,10 @@ def fused_bucketed_agno(c_f: int, d: int, use_attn: bool, num_samples: int,
     indices/dst_qs/masks: per-bucket [Qb, Kb] / [Qb, d] / [Qb, Kb] tuples;
     edge_pos/tquery/tmask: the COMBINED transpose graph in bucket-
     concatenated edge space (ops/padding.py::transpose_bucket_edges).
-    Returns [R, c_f] with R = Σ Qb.
+    Returns (out [R, c_f], reps) with R = Σ Qb and reps a per-bucket tuple
+    of [Kb, Qb, d] coordinate slices of the gathered rows — shared with the
+    geometric embedding so it never issues its own narrow per-bucket [E, d]
+    gathers. reps are data (coords): their cotangents are discarded.
 
     Backward: per-bucket fused Pallas passes emit dW/db (summed across
     buckets) and the per-bucket edge-major coefficient — exactly the
@@ -237,14 +247,16 @@ def _fused_bucketed_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
         outs.append(fused_agno_fwd(ws, bs, gath, dst, m, c_f=c_f, d=d,
                                    use_attn=use_attn))
     out = jnp.concatenate(outs, axis=0)
-    return out, (ws, bs, tuple(gaths), dst_qs, masks, edge_pos, tquery,
-                 tmask)
+    reps = tuple(g[:, :, c_f:c_f + d] for g in gaths)
+    return (out, reps), (ws, bs, tuple(gaths), dst_qs, masks, edge_pos,
+                         tquery, tmask)
 
 
-def _fused_bucketed_bwd(c_f, d, use_attn, num_samples, res, dout):
+def _fused_bucketed_bwd(c_f, d, use_attn, num_samples, res, douts):
     from .pallas.fused_agno import fused_agno_bwd
 
     ws, bs, gaths, dst_qs, masks, edge_pos, tquery, tmask = res
+    dout, _ = douts          # reps are data (coords) — cotangents dropped
     f_dtype = gaths[0].dtype
     cg = gaths[0].shape[-1]
     dout = dout.astype(f_dtype)

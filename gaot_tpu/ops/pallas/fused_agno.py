@@ -210,16 +210,20 @@ def _bwd_kernel(dst_ref, mask_ref, gath_ref, dout_ref, *rest,
     db_refs[0][...] += jnp.sum(grad, axis=0, keepdims=True)
 
 
-def _tile_q(q, per_row_bytes, budget=3 << 20, min_t=128, cap=8 << 20):
-    """Pick the Q-tile. TPU block shapes need the LAST dim divisible by 128
-    unless the block spans the full array dim — so either one whole-Q block,
-    or a multiple of 128 with the wrappers padding Q up to a tile boundary."""
+def _tile_q(q, per_row_bytes, budget=12 << 20, min_t=16):
+    """Pick the Q-tile: whole Q if it fits the VMEM budget, else the largest
+    tile under the budget — a 128-multiple when possible, else (deep-K
+    buckets where 128 rows blow VMEM) sublane-aligned down to min_t. Q is
+    never a LANE dim in any block — dst/out/mask carry it in sublanes and
+    gath as the middle dim — so the tile only needs 8/16-row (fp32/bf16
+    sublane) alignment; 128 stays preferred because the MXU matmuls run on
+    [K·tq, H] rows. The budget is against the compiler's 16M scoped-vmem
+    limit with headroom for the weight blocks."""
     if q * per_row_bytes <= budget:
         return q
-    t = max(budget // max(per_row_bytes, 1), min_t) // min_t * min_t
-    if t * per_row_bytes > cap:
-        return 0
-    return t
+    t = budget // max(per_row_bytes, 1)
+    t = t // 128 * 128 if t >= 128 else t // min_t * min_t
+    return t if t >= min_t else 0
 
 
 def fused_supported(k, q, cg, c_f, d, n_layers, dtype) -> int:
@@ -231,8 +235,12 @@ def fused_supported(k, q, cg, c_f, d, n_layers, dtype) -> int:
     if dtype not in (jnp.bfloat16, jnp.float32) or c_f % 8 != 0 or cg < c_f + d:
         return 0
     cg_pad = -(-cg // 128) * 128
-    # gath block + activations (fp32 working set) per query row
-    per_row = k * cg_pad * 2 + k * 128 * 4 * (n_layers + 3)
+    # Scoped-VMEM bytes per query row, CALIBRATED against the compiler's
+    # stack accounting for the backward kernel (the larger of the two): the
+    # analytic gath-block + fp32-activations model under-counted by ~2.4×
+    # (measured 18.43M scoped at k=16, tq=128, n_layers=4 vs 7.5M modeled —
+    # double-buffered grid blocks plus Mosaic temporaries).
+    per_row = int((k * cg_pad * 2 + k * 128 * 4 * (n_layers + 3)) * 2.4)
     return _tile_q(q, per_row)
 
 

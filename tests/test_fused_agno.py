@@ -80,18 +80,20 @@ def test_fused_backward_matches_oracle(use_attn):
 
 
 @pytest.mark.parametrize("use_attn", [True, False])
-def test_fused_flat_agno_matches_xla_path(monkeypatch, use_attn):
+@pytest.mark.parametrize("c", [1, 8])
+def test_fused_flat_agno_matches_xla_path(monkeypatch, use_attn, c):
     """The model-level fused route (AGNO._fused_flat_km, forced via
     GAOT_FUSED_AGNO=1 → interpret mode on CPU) agrees with the XLA flat path
     on outputs AND parameter/feature gradients. f32 tolerances are loose
     only where the fused kernel's tanh GELU differs from the XLA path's
-    exact erf GELU."""
+    exact erf GELU. c=1 exercises the lane-padding route (_pad_cf — the
+    encoder's raw-input width)."""
     from gaot_tpu.models.agno import AGNO
     from gaot_tpu.ops import PaddedGraph, pad_csr, radius_search
     from gaot_tpu.ops.padding import transpose_graph
 
     rng = np.random.default_rng(3)
-    n, q, d, c = 96, 64, 2, 8
+    n, q, d = 96, 64, 2
     y = rng.uniform(-1, 1, (n, d)).astype(np.float32)
     x = rng.uniform(-1, 1, (q, d)).astype(np.float32)
     graph_h = pad_csr(*radius_search(y, x, 0.4), pad_multiple=8)
@@ -139,17 +141,18 @@ def test_fused_bf16_close_to_f32():
 
 
 @pytest.mark.parametrize("use_attn", [True, False])
-def test_fused_bucketed_agno_matches_xla_path(monkeypatch, use_attn):
+@pytest.mark.parametrize("c", [1, 8])
+def test_fused_bucketed_agno_matches_xla_path(monkeypatch, use_attn, c):
     """The model-level fused bucketed route (AGNO._fused_bucketed, forced via
     GAOT_FUSED_AGNO=1 → interpret mode on CPU) agrees with the XLA bucketed
     path on outputs AND parameter/feature gradients (same GELU-approximation
-    tolerances as the flat test)."""
+    tolerances as the flat test). c=1 exercises the lane-padding route."""
     from gaot_tpu.models.agno import AGNO
     from gaot_tpu.ops import pad_csr, radius_search
     from gaot_tpu.ops.padding import bucketize_graph
 
     rng = np.random.default_rng(5)
-    n, q, d, c = 150, 200, 2, 8
+    n, q, d = 150, 200, 2
     y = rng.uniform(-1, 1, (n, d)).astype(np.float32)
     x = rng.uniform(-1, 1, (q, d)).astype(np.float32)
     # Heavy-tailed degrees (like a radius graph) so bucketing actually
@@ -197,3 +200,76 @@ def test_fused_bucketed_agno_matches_xla_path(monkeypatch, use_attn):
     for got, want in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_fused_magno_geoembed_sharing(monkeypatch):
+    """MAGNO-level fused routes with use_geoembed=True: geoembed consumes
+    the coordinate slice of the fused kernel's gathered rows (return_rep)
+    instead of its own [E, d] gather. Forced fused (GAOT_FUSED_AGNO=1 →
+    interpret mode, f32 on CPU) must agree with the XLA path on outputs and
+    input-function gradients for BOTH the flat (dense vx) and bucketed
+    layouts. Tolerances as in the flat/bucketed AGNO tests (tanh vs erf
+    GELU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaot_tpu.core.config import MAGNOConfig
+    from gaot_tpu.models.magno import MAGNOEncoder
+    from gaot_tpu.ops.padding import (
+        PaddedGraph,
+        bucketize_graphs_stacked,
+        stack_tgraphs,
+        transpose_graph,
+    )
+    from gaot_tpu.ops import pad_csr, radius_search
+
+    rng = np.random.default_rng(7)
+    s, n, q_lat = 2, 64, 48
+    coords = rng.uniform(-1, 1, (s, n, 2)).astype(np.float32)
+    lat = rng.uniform(-1, 1, (q_lat, 2)).astype(np.float32)
+    pndata = rng.normal(size=(s, n, 3)).astype(np.float32)
+
+    graphs, masks = [], []
+    for i in range(s):
+        g = pad_csr(*radius_search(coords[i], lat, 0.5), pad_multiple=8)
+        graphs.append(g)
+    k = max(g.indices.shape[-1] for g in graphs)
+    idx = np.stack([np.pad(g.indices, ((0, 0), (0, k - g.indices.shape[-1])))
+                    for g in graphs])
+    msk = np.stack([np.pad(g.mask, ((0, 0), (0, k - g.mask.shape[-1])))
+                    for g in graphs])
+    stacked = PaddedGraph(jnp.asarray(idx), jnp.asarray(msk))
+    tg = stack_tgraphs([
+        transpose_graph(PaddedGraph(idx[i], msk[i]), n) for i in range(s)])
+    bb = bucketize_graphs_stacked(stacked, num_sources=n, tile=4, min_k=8,
+                                  launch_penalty_rows=8)
+    assert bb is not None
+
+    cfg = MAGNOConfig(coord_dim=2, radius=0.5, hidden_size=8, mlp_layers=2,
+                      lifting_channels=8, use_geoembed=True)
+    enc = MAGNOEncoder(in_channels=3, out_channels=8, config=cfg,
+                       agno_out_channels=8)
+    params = enc.init(jax.random.key(0), jnp.asarray(coords),
+                      jnp.asarray(pndata), jnp.asarray(lat), [stacked],
+                      tgraphs=[tg])
+
+    def run(x, graphs_, tgraphs_):
+        return enc.apply(params, jnp.asarray(coords), x, jnp.asarray(lat),
+                         graphs_, tgraphs=tgraphs_)
+
+    def loss(x, graphs_, tgraphs_):
+        return jnp.sum(run(x, graphs_, tgraphs_) ** 2)
+
+    x = jnp.asarray(pndata)
+    for graphs_, tgraphs_, label in (([stacked], [tg], "flat"),
+                                     ([bb], None, "bucketed")):
+        monkeypatch.setenv("GAOT_FUSED_AGNO", "0")
+        out_xla = run(x, graphs_, tgraphs_)
+        g_xla = jax.grad(loss)(x, graphs_, tgraphs_)
+        monkeypatch.setenv("GAOT_FUSED_AGNO", "1")
+        out_fused = run(x, graphs_, tgraphs_)
+        g_fused = jax.grad(loss)(x, graphs_, tgraphs_)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                                   rtol=2e-2, atol=2e-3, err_msg=label)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                                   rtol=5e-2, atol=5e-2, err_msg=label)
