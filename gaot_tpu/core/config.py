@@ -169,6 +169,12 @@ class MAGNOConfig:
                                          # layout this is ~2.9x faster than
                                          # XLA's scatter-add backward on the
                                          # isolated primitive (v5e).
+    fused_agno: str = "auto"             # route the per-edge AGNO pipeline
+                                         # through the fused Pallas kernel
+                                         # (ops/pallas/fused_agno.py):
+                                         # 'auto' (bf16 on TPU when the
+                                         # shapes are supported), 'on', 'off'.
+                                         # GAOT_FUSED_AGNO=0/1 overrides.
     use_query_bucketing: bool = True     # re-pack graphs into degree buckets
                                          # (fx: ops/padding.py::bucketize_graph;
                                          # vx: bucketize_graphs_stacked with a
@@ -193,6 +199,9 @@ class MAGNOConfig:
             "linear", "nonlinear", "linear_kernelonly", "nonlinear_kernelonly"
         ):
             raise ConfigError(f"Invalid transform_type: {self.transform_type}")
+        if self.fused_agno not in ("auto", "on", "off"):
+            raise ConfigError(
+                f"fused_agno must be auto/on/off, got {self.fused_agno!r}")
 
 
 @dataclass
@@ -220,7 +229,21 @@ class TransformerConfig:
     use_long_range_skip: bool = True        # UViT long-range skips
     ffn_multiplier: int = 4
     attn_config: AttentionConfig = field(default_factory=AttentionConfig)
-    attn_backend: str = "auto"              # ['auto', 'xla', 'pallas']
+    attn_backend: str = "auto"              # ['auto', 'xla', 'pallas'];
+                                            # GAOT_ATTN_BACKEND overrides
+    fused_ffn: str = "auto"                 # fused SwiGLU Pallas kernel
+                                            # (ops/pallas/fused_ffn.py):
+                                            # 'auto' (bf16 on TPU), 'on',
+                                            # 'off'. GAOT_FUSED_FFN=0/1
+                                            # overrides.
+
+    def __post_init__(self):
+        if self.fused_ffn not in ("auto", "on", "off"):
+            raise ConfigError(
+                f"fused_ffn must be auto/on/off, got {self.fused_ffn!r}")
+        if self.attn_backend not in ("auto", "xla", "pallas"):
+            raise ConfigError(
+                f"attn_backend must be auto/xla/pallas, got {self.attn_backend!r}")
 
 
 # ---------------------------------------------------------------------------

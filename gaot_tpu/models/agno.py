@@ -42,6 +42,9 @@ class AGNO(nn.Module):
     coord_dim: Optional[int] = None
     attention_dim: int = 64
     dtype: Optional[jnp.dtype] = None
+    fused: str = "auto"     # fused per-edge Pallas route: 'auto'|'on'|'off'
+                            # (config field magno.fused_agno; GAOT_FUSED_AGNO
+                            # env var overrides for measurement/tests)
 
     def setup(self):
         if self.transform_type not in (
@@ -177,6 +180,8 @@ class AGNO(nn.Module):
                 coef = coef / counts[..., None].astype(coef.dtype)
             coef = jnp.where(mask[..., None] if coef.ndim == 3
                              else mask[None, ..., None], coef, 0)
+            from ..utils.routing import record_route
+            record_route("agno", "xla-tgraph")
             return apply_graph_transform(coef, f_y, graph, tgraph,
                                          num_samples=num_samples)
 
@@ -213,12 +218,16 @@ class AGNO(nn.Module):
 
         return_rep (fused route only): also return the [K, Q, d] coordinate
         slice of the kernel's gathered rows for geoembed sharing."""
+        from ..utils.routing import record_route
+
         idx_t = graph.indices.T                                  # [K, Q]
         mask_t = graph.mask.T
         if self._use_fused_km(y, x, f_y, weights, idx_t):
+            record_route("agno", "pallas-flat")
             out, rep = self._fused_flat_km(y, x, f_y, idx_t, graph.mask,
                                            tgraph, num_samples)
             return (out, rep) if return_rep else out
+        record_route("agno", "xla-kmajor")
         if return_rep:
             raise ValueError("return_rep requires the fused flat route "
                              "(probe with fused_flat_active first)")
@@ -252,14 +261,14 @@ class AGNO(nn.Module):
         (ops/pallas/fused_agno.py): bf16 compute on TPU, coordinate-only
         (linear) kernel on raw 2D/3D coords, cosine or no attention, no
         quadrature weights. fp32 (the convergence-parity configuration)
-        always keeps the XLA path. GAOT_FUSED_AGNO=0 disables; =1 forces
-        (tests, interpret mode)."""
-        import os
-
+        always keeps the XLA path. Mode comes from the `fused` field
+        (config magno.fused_agno); GAOT_FUSED_AGNO=0/1 overrides."""
         import jax
 
-        force = os.environ.get("GAOT_FUSED_AGNO")
-        if force == "0":
+        from ..utils.routing import resolve_mode
+
+        mode = resolve_mode("GAOT_FUSED_AGNO", self.fused)
+        if mode == "off":
             return False
         d = y.shape[-1]
         c_f = f_y.shape[-1]
@@ -267,7 +276,7 @@ class AGNO(nn.Module):
                 or self.channel_mlp_features[-1] != c_f
                 or (self.use_attn and self.attention_type != "cosine")):
             return False
-        if force != "1" and not (jax.default_backend() == "tpu"
+        if mode != "on" and not (jax.default_backend() == "tpu"
                                  and self.dtype == jnp.bfloat16
                                  and f_y.dtype == jnp.bfloat16):
             return False
@@ -442,10 +451,14 @@ class AGNO(nn.Module):
         # coefs) — both take the combined custom-VJP path.
         combined = (multiply_f and not nonlinear and bg.tgraph is not None
                     and f_y.ndim in (2, 3))
+        from ..utils.routing import record_route
+
         if (combined and f_y.ndim == 2
                 and self._use_fused_bucketed(y, x, f_y, weights, bg)):
+            record_route("agno", "pallas-bucketed")
             out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
             return (out, reps) if return_rep else out
+        record_route("agno", "xla-bucketed" if combined else "xla-bucketed-plain")
         if return_rep:
             raise ValueError("return_rep requires the fused bucketed route "
                              "(probe with fused_bucketed_active first)")

@@ -296,9 +296,14 @@ class GeometricEmbedding(nn.Module):
                 dtype=self.dtype, name="pointnet_mlp")
             fc = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")
 
-            def pointnet(lq, g):
+            def pointnet(lq, g, nb_):
                 indices, mask = g.indices, g.mask
-                nbr = input_geom[indices]                        # [Q, K, d]
+                if nb_ is not None:
+                    # Shared gather from the AGNO transform: [Q, K, d], or
+                    # K-major [K, Q, d] from the vx-flat path.
+                    nbr = nb_.swapaxes(0, 1) if kmajor else nb_
+                else:
+                    nbr = input_geom[indices]                    # [Q, K, d]
                 centered = nbr - lq[:, None, :]
                 h = nn.relu(mlp(centered))                       # [Q, K, 64]
                 if self.pooling == "max":

@@ -159,6 +159,7 @@ class _MAGNOBase(nn.Module):
             attention_type=cfg.attention_type,
             coord_dim=kdim,
             dtype=self.dtype,
+            fused=cfg.fused_agno,
         )
         if cfg.use_geoembed:
             self.geoembed = GeometricEmbedding(
@@ -237,6 +238,14 @@ class _MAGNOBase(nn.Module):
             out, rep = self.agno(y=src_proc, graph=graph, x=dst_proc,
                                  f_y=f_src, tgraph=tgraph,
                                  num_samples=num_samples, return_rep=True)
+            # The fused kernel's gathered rows are in the compute dtype
+            # (bf16 under mixed precision). Geoembed's diff/distance/
+            # covariance statistics are sensitive to coordinate quantization
+            # on fine meshes (bf16 ulp ~2^-8 relative is comparable to
+            # neighbor spacing), so only share rows that kept full
+            # coordinate precision; otherwise geoembed re-gathers in fp32.
+            if rep.dtype != src_coords.dtype:
+                rep = None
         else:
             out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
                             tgraph=tgraph, num_samples=num_samples,
@@ -286,6 +295,10 @@ class _MAGNOBase(nn.Module):
             cat, reps = self.agno(y=src_proc, graph=dropped, x=dst_proc,
                                   f_y=f_src, num_samples=num_samples,
                                   return_rep=True)
+            # Same fp32-coordinate rule as _agno_scale: never feed geoembed
+            # bf16-quantized coordinate rows.
+            if reps and reps[0].dtype != src_coords.dtype:
+                reps = None
         else:
             cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
                             num_samples=num_samples)

@@ -167,6 +167,8 @@ class GroupQueryAttention(nn.Module):
             backend = "pallas" if on_tpu and dropout_rng is None else "xla"
             if on_tpu and dropout_rng is not None:
                 _warn_dropout_bypass_once()
+        from ..utils.routing import record_route
+        record_route("attn", backend)
         if backend == "pallas":
             from ..ops.pallas.flash_attention import flash_attention_gqa
 
@@ -185,16 +187,22 @@ class FFN(nn.Module):
     use_conditional_norm: bool = False
     cond_norm_hidden_size: int = 4
     dtype: Optional[jnp.dtype] = None
+    fused: str = "auto"     # config field transformer.fused_ffn;
+                            # GAOT_FUSED_FFN env var overrides
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..utils.routing import record_route
+
         input_size = x.shape[-1]
         w1 = nn.Dense(self.ffn_hidden_size, use_bias=False, dtype=self.dtype, name="w1")
         w3 = nn.Dense(self.ffn_hidden_size, use_bias=False, dtype=self.dtype, name="w3")
         w2 = nn.Dense(input_size, use_bias=False, dtype=self.dtype, name="w2")
         if self._use_fused(x):
+            record_route("ffn", "pallas")
             out = self._fused(x, w1, w3, w2)
         else:
+            record_route("ffn", "xla")
             out = w2(nn.silu(w1(x)) * w3(x))
         if self.use_conditional_norm:
             out = ConditionedNorm(input_size, self.cond_norm_hidden_size,
@@ -206,15 +214,16 @@ class FFN(nn.Module):
         bf16 compute on TPU — the XLA path materializes the [R, 4·hidden]
         intermediates in HBM (measured HBM-bound on the fx flagship). fp32
         (the convergence-parity configuration) keeps the exact XLA path.
-        GAOT_FUSED_FFN=0 disables; =1 forces (tests, interpret mode)."""
-        import os
-
+        Mode comes from the `fused` field (config transformer.fused_ffn);
+        GAOT_FUSED_FFN=0/1 overrides."""
         import jax
 
-        force = os.environ.get("GAOT_FUSED_FFN")
-        if force == "0":
+        from ..utils.routing import resolve_mode
+
+        mode = resolve_mode("GAOT_FUSED_FFN", self.fused)
+        if mode == "off":
             return False
-        if force != "1" and not (jax.default_backend() == "tpu"
+        if mode != "on" and not (jax.default_backend() == "tpu"
                                  and self.dtype == jnp.bfloat16
                                  and x.dtype == jnp.bfloat16):
             return False
@@ -278,6 +287,7 @@ class TransformerBlock(nn.Module):
             use_conditional_norm=cfg.attn_config.use_conditional_norm,
             cond_norm_hidden_size=cfg.attn_config.cond_norm_hidden_size,
             dtype=self.dtype,
+            fused=cfg.fused_ffn,
             name="ffn",
         )(h, condition=condition)
         # Spatial parallelism: keep tokens sharded over 'model' between

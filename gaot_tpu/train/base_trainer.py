@@ -356,6 +356,13 @@ class BaseTrainer(ABC):
                 for batch in train_iter:
                     epoch_losses.append(self.train_step(batch))
                     samples_done += int(np.sum(batch["sample_mask"]))
+            if epoch == 0 and verbose and jax.process_index() == 0:
+                # The dispatch sites record their decisions at trace time
+                # (utils/routing.py), so after the first epoch the active
+                # route set is known — one line for measurement attribution.
+                from ..utils.routing import format_routes
+                print(f"[gaot_tpu] kernel routes: {format_routes()}",
+                      flush=True)
             if (epoch + 1) % eval_every == 0:
                 train_loss = float(jnp.mean(jnp.concatenate(
                     [jnp.atleast_1d(l) for l in epoch_losses])))

@@ -56,8 +56,18 @@ def _load_stats() -> dict:
 
 
 def record_compile_time(key: str, seconds: float) -> None:
-    """Record a measured program-build time (best effort, last write wins)."""
+    """Record a measured program-build time (best effort).
+
+    The measurement is first-minus-second epoch wall time, so a run that hit
+    a warm persistent cache measures ~the 1 s floor — it must not overwrite
+    the true cold-compile cost (epoch_scan=auto would then choose the scan on
+    short runs and eat the full compile after any cache invalidation). Only
+    values that look like a real compile (>5 s) replace an existing entry;
+    warm-run floors are recorded only when nothing is known yet."""
     stats = _load_stats()
+    prev = stats.get(key)
+    if prev is not None and seconds <= 5.0:
+        return
     stats[key] = round(float(seconds), 2)
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)

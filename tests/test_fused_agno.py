@@ -202,6 +202,61 @@ def test_fused_bucketed_agno_matches_xla_path(monkeypatch, use_attn, c):
                                    rtol=5e-2, atol=5e-2)
 
 
+def test_fused_bf16_geoembed_keeps_fp32_coords(monkeypatch):
+    """Under bf16 compute the fused route must NOT feed geoembed the
+    kernel's bf16-quantized coordinate rows (advisor round-3 finding): on a
+    fine mesh (spacing ~1e-3 near coordinate 1.0) bf16 coord quantization
+    corrupts the diff/variance/covariance statistics. Fused and unfused
+    bf16 paths must agree to kernel-approximation tolerance — both gather
+    geoembed coords in fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaot_tpu.core.config import MAGNOConfig
+    from gaot_tpu.models.magno import MAGNOEncoder
+    from gaot_tpu.ops import pad_csr, radius_search
+    from gaot_tpu.ops.padding import PaddedGraph, stack_tgraphs, transpose_graph
+
+    rng = np.random.default_rng(11)
+    s, n, q_lat = 2, 96, 32
+    # Fine mesh: coords clustered in [0.9, 0.95] where bf16 ulp ~0.002 is
+    # comparable to the 0.01 search radius.
+    coords = (0.9 + 0.05 * rng.uniform(size=(s, n, 2))).astype(np.float32)
+    lat = (0.9 + 0.05 * rng.uniform(size=(q_lat, 2))).astype(np.float32)
+    pndata = rng.normal(size=(s, n, 3)).astype(np.float32)
+
+    graphs = [pad_csr(*radius_search(coords[i], lat, 0.015), pad_multiple=8)
+              for i in range(s)]
+    k = max(g.indices.shape[-1] for g in graphs)
+    idx = np.stack([np.pad(g.indices, ((0, 0), (0, k - g.indices.shape[-1])))
+                    for g in graphs])
+    msk = np.stack([np.pad(g.mask, ((0, 0), (0, k - g.mask.shape[-1])))
+                    for g in graphs])
+    assert msk.sum() > 50
+    stacked = PaddedGraph(jnp.asarray(idx), jnp.asarray(msk))
+    tg = stack_tgraphs([
+        transpose_graph(PaddedGraph(idx[i], msk[i]), n) for i in range(s)])
+
+    cfg = MAGNOConfig(coord_dim=2, radius=0.015, hidden_size=8, mlp_layers=2,
+                      lifting_channels=8, use_geoembed=True)
+    enc = MAGNOEncoder(in_channels=3, out_channels=8, config=cfg,
+                       agno_out_channels=8, dtype=jnp.bfloat16)
+    params = enc.init(jax.random.key(0), jnp.asarray(coords),
+                      jnp.asarray(pndata), jnp.asarray(lat), [stacked],
+                      tgraphs=[tg])
+
+    def run():
+        return np.asarray(enc.apply(
+            params, jnp.asarray(coords), jnp.asarray(pndata),
+            jnp.asarray(lat), [stacked], tgraphs=[tg]), np.float32)
+
+    monkeypatch.setenv("GAOT_FUSED_AGNO", "0")
+    out_xla = run()
+    monkeypatch.setenv("GAOT_FUSED_AGNO", "1")
+    out_fused = run()
+    np.testing.assert_allclose(out_fused, out_xla, rtol=1e-1, atol=5e-2)
+
+
 def test_fused_magno_geoembed_sharing(monkeypatch):
     """MAGNO-level fused routes with use_geoembed=True: geoembed consumes
     the coordinate slice of the fused kernel's gathered rows (return_rep)

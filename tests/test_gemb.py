@@ -98,6 +98,76 @@ def test_geoembed_shapes_and_empty_rows():
             assert (out[20:] == 0).all()  # empty neighborhoods → zero embedding
 
 
+def _naive_pointnet(input_geom, queries, idx, rs, params, pooling):
+    """Ragged CSR version of the reference pointnet features
+    (src/model/layers/gemb.py:173-228): shared MLP (Linear-ReLU-Linear-ReLU)
+    on query-centered neighbor coords, scatter max/mean pool, fc + ReLU."""
+    p = params["params"]
+    w0 = np.asarray(p["pointnet_mlp"]["dense_0"]["kernel"])
+    b0 = np.asarray(p["pointnet_mlp"]["dense_0"]["bias"])
+    w1 = np.asarray(p["pointnet_mlp"]["dense_1"]["kernel"])
+    b1 = np.asarray(p["pointnet_mlp"]["dense_1"]["bias"])
+    wf = np.asarray(p["fc"]["kernel"])
+    bf = np.asarray(p["fc"]["bias"])
+    q = queries.shape[0]
+    out = np.zeros((q, wf.shape[1]), np.float32)
+    for qi in range(q):
+        nbrs = idx[rs[qi]:rs[qi + 1]]
+        if len(nbrs) == 0:
+            continue
+        centered = input_geom[nbrs] - queries[qi]
+        h = np.maximum(centered @ w0 + b0, 0.0)
+        h = np.maximum(h @ w1 + b1, 0.0)
+        pooled = h.max(0) if pooling == "max" else h.mean(0)
+        out[qi] = np.maximum(pooled @ wf + bf, 0.0)
+    return out
+
+
+@pytest.mark.parametrize("pooling", ["max", "mean"])
+def test_pointnet_features_match_csr(pooling):
+    """Padded pointnet embedding vs a ragged CSR re-implementation of the
+    reference semantics (src/model/layers/gemb.py:173-228)."""
+    rng = np.random.default_rng(6)
+    geom = rng.uniform(-1, 1, (80, 2)).astype(np.float32)
+    queries = np.concatenate([
+        rng.uniform(-1, 1, (28, 2)),
+        np.full((2, 2), 10.0),  # no neighbors → zero embedding
+    ]).astype(np.float32)
+    idx, rs = radius_search(geom, queries, 0.4)
+    graph = pad_csr(idx, rs, pad_multiple=4)
+    g = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    model = GeometricEmbedding(output_dim=8, method="pointnet", pooling=pooling)
+    params = model.init(jax.random.key(1), jnp.asarray(geom),
+                        jnp.asarray(queries), g)
+    got = np.asarray(model.apply(params, jnp.asarray(geom),
+                                 jnp.asarray(queries), g))
+    want = _naive_pointnet(geom, queries, idx, rs, params, pooling)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert (got[28:] == 0).all()
+
+
+def test_statistical_features_fine_mesh_bf16_coords_degrade():
+    """Documents why geoembed must keep fp32 coordinates: on a fine mesh
+    (spacing ~1e-3 around coordinate ~1.0, bf16 ulp ~2^-8 relative) the
+    statistics computed from bf16-quantized coords diverge badly. MAGNO's
+    fused route shares the kernel's gathered rows with geoembed ONLY when
+    they kept full coordinate precision (models/magno.py::_agno_scale)."""
+    rng = np.random.default_rng(7)
+    geom = (0.9 + 0.05 * rng.uniform(size=(120, 2))).astype(np.float32)
+    queries = (0.9 + 0.05 * rng.uniform(size=(40, 2))).astype(np.float32)
+    idx, rs = radius_search(geom, queries, 0.01)
+    assert rs[-1] > 50  # the radius actually captures neighbors
+    graph = pad_csr(idx, rs, pad_multiple=4)
+    g = PaddedGraph(jnp.asarray(graph.indices), jnp.asarray(graph.mask))
+    f32 = np.asarray(statistical_features(jnp.asarray(geom),
+                                          jnp.asarray(queries), g))
+    quant = np.asarray(jnp.asarray(geom).astype(jnp.bfloat16), np.float32)
+    bf16 = np.asarray(statistical_features(jnp.asarray(quant),
+                                           jnp.asarray(queries), g))
+    # The quantized statistics are NOT a small perturbation.
+    assert np.max(np.abs(f32 - bf16)) > 0.5
+
+
 def test_node_pos_encode():
     x = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (10, 2)).astype(np.float32))
     enc = node_pos_encode(x, freq=4)
