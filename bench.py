@@ -69,7 +69,7 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     coords_j = jnp.asarray(coords)
     pndata = jnp.asarray(rng.normal(size=(batch_size, num_nodes, 1)).astype(np.float32))
     target = jnp.asarray(rng.normal(size=(batch_size, num_nodes, 1)).astype(np.float32))
-    mask = jnp.ones((batch_size,), dtype=bool)
+    mask = np.ones((batch_size,), dtype=bool)  # numpy: embeds without a D2H
 
     t0 = time.perf_counter()
     params = jax.jit(model.init)(jax.random.key(0), latent_j, coords_j, pndata, enc, dec)
@@ -85,18 +85,31 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, rng_key, pndata, target):
+    # Device-resident model inputs ride as a jit ARGUMENT, never a closure:
+    # lowering embeds closure-captured jax.Arrays as MLIR constants, which
+    # fetches each one device→host — on the tunneled TPU that serialized the
+    # whole dataset through the link at every (re)trace and dominated warmup
+    # (probe: 152 s trace+lower vs 8 s compile on a warm cache,
+    # scripts/compile_probe.py).
+    data = {"latent": latent_j, "coords": coords_j,
+            "enc": enc, "dec": dec, "enc_t": enc_t, "dec_t": dec_t}
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def _train_step(data, params, opt_state, rng_key, pndata, target):
         def loss_fn(p):
-            pred = model.apply(p, latent_j, coords_j, pndata, enc, dec,
+            pred = model.apply(p, data["latent"], data["coords"], pndata,
+                               data["enc"], data["dec"],
                                training=True, rngs={"edge_drop": rng_key},
-                               encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
+                               encoder_tgraphs=data["enc_t"],
+                               decoder_tgraphs=data["dec_t"])
             return masked_mse(pred, target, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    train_step = partial(_train_step, data)
 
     if not with_scan:
         return train_step, None, None, params, opt_state, pndata, target
@@ -106,25 +119,27 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
     # per scan step, gather the batch by index and run the same update.
     train_size = int(os.environ.get("BENCH_TRAIN_SIZE", 2048))
     dev = {
+        **data,
         "c": jnp.asarray(rng.normal(
             size=(train_size, num_nodes, 1)).astype(np.float32)),
         "u": jnp.asarray(rng.normal(
             size=(train_size, num_nodes, 1)).astype(np.float32)),
     }
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, rng_key, idx):
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def _epoch_fn(dev, params, opt_state, rng_key, idx):
         def body(carry, xs):
             params, opt_state = carry
             i, step = xs
 
             def loss_fn(p):
-                pred = model.apply(p, latent_j, coords_j, dev["c"][i], enc,
-                                   dec, training=True,
+                pred = model.apply(p, dev["latent"], dev["coords"],
+                                   dev["c"][i], dev["enc"], dev["dec"],
+                                   training=True,
                                    rngs={"edge_drop": jax.random.fold_in(
                                        rng_key, step)},
-                                   encoder_tgraphs=enc_t,
-                                   decoder_tgraphs=dec_t)
+                                   encoder_tgraphs=dev["enc_t"],
+                                   decoder_tgraphs=dev["dec_t"])
                 return masked_mse(pred, dev["u"][i], mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -136,6 +151,8 @@ def build_workload(batch_size=64, num_nodes=8192, latent=(64, 64), seed=0,
             body, (params, opt_state),
             (idx, jnp.arange(k, dtype=jnp.int32)))
         return params, opt_state, losses
+
+    epoch_fn = partial(_epoch_fn, dev)
 
     def make_epoch_indices(epoch_rng, k):
         # Wrap the permutation when k*batch_size exceeds the dataset (large
@@ -168,11 +185,9 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
 
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-1, 1, (train_size, num_nodes, 2)).astype(np.float32)
-    if os.environ.get("BENCH_MORTON", "0") == "1":
-        from gaot_tpu.ops.padding import morton_order
-
-        coords = np.stack([c[morton_order(c)] for c in coords])
-        log("morton: spatially sorted per-sample nodes")
+    # Morton node ordering is the GraphBuilder default (config
+    # magno.morton_ordering); BENCH_MORTON=0 ablates it.
+    morton = os.environ.get("BENCH_MORTON", "1") == "1"
     axes = [np.linspace(-1, 1, latent[0]), np.linspace(-1, 1, latent[1])]
     lat = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 2).astype(np.float32)
 
@@ -182,7 +197,8 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
             "magno": {"coord_dim": 2, "radius": 0.033, "hidden_size": 64,
                       "mlp_layers": 3, "lifting_channels": 64,
                       "use_transpose_backward": use_tgraph,
-                      "use_query_bucketing": use_buckets},
+                      "use_query_bucketing": use_buckets,
+                      "morton_ordering": morton},
             "transformer": {"patch_size": 2, "hidden_size": 256,
                             "num_layers": 3},
         },
@@ -218,8 +234,10 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
 
     from gaot_tpu.data.graph_builder import vx_batch_graphs, vx_graph_buffers
 
+    bufs = vx_graph_buffers(split)
+    bufs.pop("node_perm", None)  # build-time layout record, not a step input
     dev = jax.device_put({
-        **vx_graph_buffers(split),
+        **bufs,
         "c": rng.normal(
             size=(train_size, split.coords.shape[1], 1)).astype(np.float32),
         "u": rng.normal(
@@ -245,16 +263,24 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
     })
     tx, _ = make_optimizer(opt_cfg, steps_per_epoch=max(1, train_size // batch_size))
     opt_state = tx.init(params)
-    mask = jnp.ones((batch_size,), dtype=bool)
+    mask = np.ones((batch_size,), dtype=bool)  # numpy: embeds without a D2H
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def train_step(params, opt_state, rng_key, i):
-        enc, dec, enc_t, dec_t = batch_args(i)
+    # dev rides as a jit ARGUMENT (see build_workload): closure-captured
+    # jax.Arrays are fetched device→host at every (re)trace to embed as MLIR
+    # constants — the dominant warmup cost on the tunneled TPU.
+    dev = {**dev, "latent": latent_j}
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def _train_step(dev, params, opt_state, rng_key, i):
+        gathered = {k: v[i] for k, v in dev.items()
+                    if k not in ("c", "u", "latent")}
+        enc, dec, enc_t, dec_t = vx_batch_graphs(gathered, 1)
 
         def loss_fn(p):
-            pred = model.apply(p, latent_j, dev["x"][i], dev["c"][i], enc, dec,
+            pred = model.apply(p, dev["latent"], dev["x"][i], dev["c"][i],
+                               enc, dec,
                                training=True, rngs={"edge_drop": rng_key},
                                encoder_tgraphs=enc_t, decoder_tgraphs=dec_t)
             return masked_mse(pred, dev["u"][i], mask, dev["node_mask"][i])
@@ -262,6 +288,8 @@ def build_vx_workload(batch_size=16, num_nodes=8192, train_size=64,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    train_step = partial(_train_step, dev)
 
     def make_indices(step_rng):
         return jnp.asarray(step_rng.integers(0, train_size, batch_size,
@@ -303,7 +331,20 @@ def compiled_flops(jitted, *args, **kwargs):
     identical on either path, so the pure-XLA count is the honest FLOP
     number for the fused program's measured timing."""
     overrides = {"GAOT_FUSED_AGNO": "0", "GAOT_FUSED_FFN": "0",
-                 "GAOT_ATTN_BACKEND": "xla"}
+                 "GAOT_ATTN_BACKEND": "xla",
+                 # Unroll the per-sample d_f scans at trace time: XLA's cost
+                 # model counts a while-loop body once regardless of trip
+                 # count, which under-counted the vx backward by ~the batch
+                 # size (round-3 verdict: 7.1 vs 15.56 GF/sample for the
+                 # same math). ops/gather_apply.py::_scan_unroll.
+                 "GAOT_FLOPS_UNROLL": "1"}
+    import functools
+
+    if isinstance(jitted, functools.partial):
+        # Workload step functions bind their device-resident data with
+        # functools.partial (data as jit argument, not closure constants).
+        args = (*jitted.args, *args)
+        jitted = jitted.func
     saved = {k: os.environ.get(k) for k in overrides}
     os.environ.update(overrides)
     try:
@@ -322,35 +363,26 @@ def compiled_flops(jitted, *args, **kwargs):
                 os.environ[k] = v
 
 
-def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters,
-                 compute_dtype, use_tgraph, use_buckets):
-    import jax
+def timed_repeats(run_once, samples_per_rep, repeats):
+    """Repeated adjacent measurement blocks → median + min/max spread.
 
-    train_step, make_indices, params, opt_state = build_vx_workload(
-        batch_size=batch_size, num_nodes=num_nodes, train_size=train_size,
-        compute_dtype=compute_dtype, use_tgraph=use_tgraph,
-        use_buckets=use_buckets)
-    key = jax.random.key(1)
-    step_rng = np.random.default_rng(1)
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        params, opt_state, loss = train_step(params, opt_state, key,
-                                             make_indices(step_rng))
-    jax.block_until_ready(loss)
-    log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
-    flops_per_step = compiled_flops(train_step, params, opt_state, key,
-                                    make_indices(step_rng))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, key,
-                                             make_indices(step_rng))
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
-    sps = batch_size * iters / elapsed
-    log(f"{iters} vx steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
-        f"loss={float(loss):.4f}")
-    out = {"metric": "train_throughput_vx", "value": round(sps, 2),
-           "unit": "samples/sec/chip", "mode": "vx"}
+    The round-3 verdict measured 535-1164 samples/s for identical code under
+    a single-block harness; every published number now carries its own
+    spread so real wins are distinguishable from environment noise."""
+    rates = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+        rates.append(samples_per_rep / dt)
+        log(f"  rep {i + 1}/{repeats}: {dt:.3f}s → {rates[-1]:.1f} samples/s")
+    srt = sorted(rates)
+    return {"value": round(float(np.median(rates)), 2),
+            "spread": [round(srt[0], 2), round(srt[-1], 2)],
+            "repeats": repeats}
+
+
+def attach_mfu(out, sps, flops_per_step, batch_size):
     kind, peak = device_peak_flops()
     if flops_per_step:
         tflops_sec = sps * (flops_per_step / batch_size) / 1e12
@@ -360,6 +392,165 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters,
             out["mfu"] = round(tflops_sec * 1e12 / peak, 4)
             log(f"device={kind} achieved={tflops_sec:.1f} TF/s "
                 f"mfu={out['mfu']:.1%}")
+    return out
+
+
+def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
+                 compute_dtype, use_tgraph, use_buckets):
+    import jax
+
+    train_step, make_indices, params, opt_state = build_vx_workload(
+        batch_size=batch_size, num_nodes=num_nodes, train_size=train_size,
+        compute_dtype=compute_dtype, use_tgraph=use_tgraph,
+        use_buckets=use_buckets)
+    key = jax.random.key(1)
+    step_rng = np.random.default_rng(1)
+    state = {"params": params, "opt_state": opt_state}
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        state["params"], state["opt_state"], loss = train_step(
+            state["params"], state["opt_state"], key, make_indices(step_rng))
+    jax.block_until_ready(loss)
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup ({warmup} steps incl. compile): {warmup_s:.2f}s")
+    flops_per_step = compiled_flops(train_step, state["params"],
+                                    state["opt_state"], key,
+                                    make_indices(step_rng))
+
+    def once():
+        for _ in range(iters):
+            state["params"], state["opt_state"], loss = train_step(
+                state["params"], state["opt_state"], key,
+                make_indices(step_rng))
+        jax.block_until_ready(loss)
+
+    stats = timed_repeats(once, batch_size * iters, repeats)
+    out = {"metric": "train_throughput_vx", "unit": "samples/sec/chip",
+           "mode": "vx", "nodes": num_nodes,
+           "warmup_s": round(warmup_s, 1), **stats}
+    return attach_mfu(out, stats["value"], flops_per_step, batch_size)
+
+
+def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
+                 compute_dtype, attn_backend, use_tgraph, use_buckets):
+    import jax
+
+    (train_step, epoch_fn, make_epoch_indices, params, opt_state, pndata,
+     target) = build_workload(
+        batch_size=batch_size, num_nodes=num_nodes,
+        compute_dtype=compute_dtype, attn_backend=attn_backend,
+        use_tgraph=use_tgraph, use_buckets=use_buckets,
+        with_scan=(mode == "scan"))
+
+    key = jax.random.key(1)
+    state = {"params": params, "opt_state": opt_state}
+    if mode == "scan":
+        # One dispatch per epoch (the trainers' device-resident path); each
+        # measurement repeat is one full epoch of k steps.
+        host_rng = np.random.default_rng(1)
+        k = int(os.environ.get("BENCH_SCAN_STEPS", 32))
+        t0 = time.perf_counter()
+        state["params"], state["opt_state"], losses = epoch_fn(
+            state["params"], state["opt_state"], key,
+            make_epoch_indices(host_rng, k))
+        jax.block_until_ready(losses)
+        warmup_s = time.perf_counter() - t0
+        log(f"warmup (1 epoch of {k} steps incl. compile): {warmup_s:.2f}s")
+        # FLOPs from the PER-STEP program: the epoch-scan program's while
+        # body is cost-counted once regardless of trip count.
+        flops_per_step = compiled_flops(train_step, state["params"],
+                                        state["opt_state"], key, pndata,
+                                        target)
+
+        def once():
+            state["params"], state["opt_state"], losses = epoch_fn(
+                state["params"], state["opt_state"], key,
+                make_epoch_indices(host_rng, k))
+            jax.block_until_ready(losses)
+
+        stats = timed_repeats(once, batch_size * k, repeats)
+    else:
+        t0 = time.perf_counter()
+        for _ in range(warmup):
+            state["params"], state["opt_state"], loss = train_step(
+                state["params"], state["opt_state"], key, pndata, target)
+        jax.block_until_ready(loss)
+        warmup_s = time.perf_counter() - t0
+        log(f"warmup ({warmup} steps incl. compile): {warmup_s:.2f}s")
+        flops_per_step = compiled_flops(train_step, state["params"],
+                                        state["opt_state"], key, pndata,
+                                        target)
+
+        def once():
+            for _ in range(iters):
+                state["params"], state["opt_state"], loss = train_step(
+                    state["params"], state["opt_state"], key, pndata, target)
+            jax.block_until_ready(loss)
+
+        stats = timed_repeats(once, batch_size * iters, repeats)
+
+    out = {
+        "metric": "train_throughput",
+        "unit": "samples/sec/chip",
+        # 'mode' records which training path this run timed (scan =
+        # whole-epoch lax.scan, step = one dispatch per step).
+        "mode": mode,
+        "warmup_s": round(warmup_s, 1),
+        **stats,
+    }
+    # MFU accounting: FLOPs from XLA's compiled cost model (fwd+bwd+adamw,
+    # everything in the dispatched program, per-sample scans unrolled for
+    # counting) against the chip's published bf16 dense peak. Gather-heavy
+    # models run far below dense peak by construction — report it honestly.
+    return attach_mfu(out, stats["value"], flops_per_step, batch_size)
+
+
+def _with_env(env, fn):
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        return fn()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def run_ablate(mode, run_default):
+    """BENCH_ABLATE=1: fused-kernel on/off pairs in ONE process — shared
+    build recipe (same seeds → identical graphs/weights), adjacent timing,
+    per-setting median+spread. Also asserts the FLOP accounting is
+    path-independent (round-3 verdict: 7.1 vs 15.56 GF/sample for the same
+    vx math)."""
+    if mode == "vx":
+        settings = [
+            ("fused_agno_on", {"GAOT_FUSED_AGNO": "1"}),
+            ("fused_agno_off", {"GAOT_FUSED_AGNO": "0"}),
+        ]
+    else:
+        settings = [
+            ("all_fused", {"GAOT_FUSED_FFN": "1", "GAOT_ATTN_BACKEND": "pallas",
+                           "GAOT_FUSED_AGNO": "1"}),
+            ("fused_ffn_off", {"GAOT_FUSED_FFN": "0",
+                               "GAOT_ATTN_BACKEND": "pallas",
+                               "GAOT_FUSED_AGNO": "1"}),
+            ("flash_off", {"GAOT_FUSED_FFN": "1", "GAOT_ATTN_BACKEND": "xla",
+                           "GAOT_FUSED_AGNO": "1"}),
+        ]
+    results = {}
+    for name, env in settings:
+        log(f"=== ablate setting: {name} {env} ===")
+        results[name] = _with_env(env, run_default)
+    gfs = [r["gflops_per_sample"] for r in results.values()
+           if r.get("gflops_per_sample")]
+    path_independent = bool(
+        gfs and (max(gfs) - min(gfs)) <= 0.01 * max(gfs))
+    if gfs and not path_independent:
+        log(f"WARNING: FLOP accounting is path-dependent: {gfs}")
+    out = {"metric": f"ablate_{mode}", "unit": "samples/sec/chip",
+           "flops_path_independent": path_independent, "results": results}
     print(json.dumps(out))
 
 
@@ -368,6 +559,7 @@ def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 8192))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     attn_backend = os.environ.get("BENCH_ATTN", "auto")
     use_tgraph = os.environ.get("BENCH_TGRAPH", "1") == "1"
@@ -385,103 +577,39 @@ def main():
     log(f"devices: {jax.devices()}")
     log(f"compute dtype: {compute_dtype}, attention backend: {attn_backend}")
     mode = os.environ.get("BENCH_MODE", "scan")  # scan | step | vx
+
     if mode == "vx":
-        run_vx_bench(batch_size=int(os.environ.get("BENCH_BATCH", 16)),
-                     num_nodes=num_nodes,
-                     train_size=int(os.environ.get("BENCH_TRAIN_SIZE", 64)),
-                     warmup=warmup, iters=iters,
-                     compute_dtype=compute_dtype,
-                     use_tgraph=use_tgraph, use_buckets=use_buckets)
-        return
-    (train_step, epoch_fn, make_epoch_indices, params, opt_state, pndata,
-     target) = build_workload(
-        batch_size=batch_size, num_nodes=num_nodes,
-        compute_dtype=compute_dtype, attn_backend=attn_backend,
-        use_tgraph=use_tgraph, use_buckets=use_buckets,
-        with_scan=(mode == "scan"))
-
-    key = jax.random.key(1)
-    flops_per_step = None
-    if mode == "scan":
-        # One dispatch per epoch (the trainers' device-resident path); time
-        # full epochs after one warmup epoch compiles the scan.
-        host_rng = np.random.default_rng(1)
-        k = int(os.environ.get("BENCH_SCAN_STEPS", 32))
-        t0 = time.perf_counter()
-        params, opt_state, losses = epoch_fn(params, opt_state, key,
-                                             make_epoch_indices(host_rng, k))
-        jax.block_until_ready(losses)
-        log(f"warmup (1 epoch of {k} steps incl. compile): "
-            f"{time.perf_counter() - t0:.2f}s")
-        # FLOPs from the PER-STEP program: XLA's cost analysis counts a
-        # while-loop body once regardless of trip count, so the epoch-scan
-        # program under-reports by ~k x (measured 0.67 vs ~30 GF/sample).
-        flops_per_step = compiled_flops(train_step, params, opt_state, key,
-                                        pndata, target)
-
-        epochs = max(1, iters // k)
-        t0 = time.perf_counter()
-        for _ in range(epochs):
-            params, opt_state, losses = epoch_fn(
-                params, opt_state, key, make_epoch_indices(host_rng, k))
-        jax.block_until_ready(losses)
-        elapsed = time.perf_counter() - t0
-        steps_done = epochs * k
-        sps = batch_size * steps_done / elapsed
-        log(f"{epochs} epoch(s) x {k} steps in {elapsed:.3f}s → "
-            f"{sps:.1f} samples/s, loss={float(losses[-1]):.4f}")
+        def run_default():
+            return run_vx_bench(
+                batch_size=int(os.environ.get("BENCH_BATCH", 16)),
+                num_nodes=num_nodes,
+                train_size=int(os.environ.get("BENCH_TRAIN_SIZE", 64)),
+                warmup=warmup, iters=iters, repeats=repeats,
+                compute_dtype=compute_dtype,
+                use_tgraph=use_tgraph, use_buckets=use_buckets)
     else:
-        t0 = time.perf_counter()
-        for i in range(warmup):
-            params, opt_state, loss = train_step(params, opt_state, key,
-                                                 pndata, target)
-        jax.block_until_ready(loss)
-        log(f"warmup ({warmup} steps incl. compile): {time.perf_counter() - t0:.2f}s")
-        flops_per_step = compiled_flops(train_step, params, opt_state, key,
-                                        pndata, target)
+        def run_default():
+            return run_fx_bench(
+                mode, batch_size=batch_size, num_nodes=num_nodes,
+                warmup=warmup, iters=iters, repeats=repeats,
+                compute_dtype=compute_dtype, attn_backend=attn_backend,
+                use_tgraph=use_tgraph, use_buckets=use_buckets)
 
-        t0 = time.perf_counter()
-        for i in range(iters):
-            params, opt_state, loss = train_step(params, opt_state, key,
-                                                 pndata, target)
-        jax.block_until_ready(loss)
-        elapsed = time.perf_counter() - t0
-        sps = batch_size * iters / elapsed
-        log(f"{iters} steps in {elapsed:.3f}s → {sps:.1f} samples/s, "
-            f"loss={float(loss):.4f}")
+    if os.environ.get("BENCH_ABLATE", "0") == "1":
+        run_ablate(mode, run_default)
+        return
 
+    out = run_default()
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
-    if os.path.exists(base_path):
+    if os.path.exists(base_path) and out["metric"] == "train_throughput":
         with open(base_path) as f:
             base = json.load(f)
         if base.get("value"):
-            vs_baseline = sps / float(base["value"])
-
-    out = {
-        "metric": "train_throughput",
-        "value": round(sps, 2),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(vs_baseline, 3),
-        # vs_baseline is cumulative vs the round-1 initial per-step fp32
-        # implementation; 'mode' records which training path this run timed
-        # (scan = whole-epoch lax.scan, step = one dispatch per step).
-        "mode": mode,
-    }
-    # MFU accounting: FLOPs from XLA's compiled cost model (fwd+bwd+adamw,
-    # everything in the dispatched program) against the chip's published
-    # bf16 dense peak. Gather/scatter-heavy models run far below dense
-    # peak by construction — report it honestly rather than flattering it.
-    kind, peak = device_peak_flops()
-    if flops_per_step:
-        tflops_sec = sps * (flops_per_step / batch_size) / 1e12
-        out["gflops_per_sample"] = round(flops_per_step / batch_size / 1e9, 2)
-        out["tflops_per_sec"] = round(tflops_sec, 2)
-        if peak:
-            out["mfu"] = round(tflops_sec * 1e12 / peak, 4)
-            log(f"device={kind} peak={peak / 1e12:.0f} TF "
-                f"achieved={tflops_sec:.1f} TF/s mfu={out['mfu']:.1%}")
+            # Cumulative vs the round-1 initial per-step fp32 implementation.
+            vs_baseline = out["value"] / float(base["value"])
+    out["vs_baseline"] = round(vs_baseline, 3)
     print(json.dumps(out))
 
 

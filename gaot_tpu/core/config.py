@@ -175,6 +175,15 @@ class MAGNOConfig:
                                          # 'auto' (bf16 on TPU when the
                                          # shapes are supported), 'on', 'off'.
                                          # GAOT_FUSED_AGNO=0/1 overrides.
+    morton_ordering: bool = True         # Morton (Z-order) sort vx nodes at
+                                         # graph build so per-edge row
+                                         # gathers hit locally-dense HBM
+                                         # rows instead of random ones
+                                         # (ops/padding.py::morton_order;
+                                         # loaders reorder u/c to match).
+                                         # Data-layout change only: losses,
+                                         # metrics and plots see the same
+                                         # (coord, value) pairs.
     use_query_bucketing: bool = True     # re-pack graphs into degree buckets
                                          # (fx: ops/padding.py::bucketize_graph;
                                          # vx: bucketize_graphs_stacked with a

@@ -26,6 +26,7 @@ from ..ops.padding import (
     PaddedGraph,
     TransposeGraph,
     _round_up,
+    morton_order,
     pad_csr,
     repad,
     stack_graphs,
@@ -47,6 +48,33 @@ class VxSplitGraphs:
     decoder: List[PaddedGraph]  # per scale, stacked [S, N_pad, K_dec]
     encoder_t: Optional[List[TransposeGraph]] = None  # per scale [S, N_pad, Kt]
     decoder_t: Optional[List[TransposeGraph]] = None  # per scale [S, Q, Kt]
+    # Morton (Z-order) node permutation applied at build time: coords[i, j]
+    # is the original node node_perm[i, j]. Per-node data (u/c) entering a
+    # loader/batcher alongside these graphs MUST be permuted identically —
+    # apply_node_perm does that. None = build order preserved.
+    node_perm: Optional[np.ndarray] = None            # int32 [S, N]
+
+
+def apply_node_perm(perm: Optional[np.ndarray], a: Optional[np.ndarray]):
+    """Reorder a per-sample node-axis array to match Morton-ordered graphs.
+
+    perm: int [S, N] (VxSplitGraphs.node_perm); a: [S, N, C] or [S, T, N, C]
+    with the node axis at -2. No-op when either side is None."""
+    if perm is None or a is None:
+        return a
+    s, n = perm.shape
+    if a.shape[-2] < n:
+        raise ValueError(f"node axis {a.shape[-2]} < perm width {n}")
+    if a.shape[-2] > n:  # already padded: permute the real rows, keep tail
+        head = apply_node_perm(perm, a[..., :n, :])
+        return np.concatenate([head, a[..., n:, :]], axis=-2)
+    if a.ndim == 3:
+        return a[np.arange(s)[:, None], perm]
+    if a.ndim == 4:
+        return a[np.arange(s)[:, None, None],
+                 np.arange(a.shape[1])[None, :, None],
+                 perm[:, None, :]]
+    raise ValueError(f"unsupported ndim {a.ndim} for node permutation")
 
 
 class GraphBuilder:
@@ -56,7 +84,7 @@ class GraphBuilder:
     def __init__(self, method: str = "auto", pad_multiple: int = 8,
                  neighbor_cap: Optional[int] = None, node_pad_multiple: int = 64,
                  workers: Optional[int] = None, strategy: str = "radius",
-                 knn_k: int = 16):
+                 knn_k: int = 16, morton: bool = False):
         if strategy not in ("radius", "knn"):
             raise ValueError(f"Unknown neighbor strategy: {strategy}")
         self.method = method
@@ -66,6 +94,13 @@ class GraphBuilder:
         self.workers = workers if workers is not None else min(8, os.cpu_count() or 1)
         self.strategy = strategy
         self.knn_k = knn_k
+        # Morton-order vx nodes at build time: spatially sorted nodes make
+        # the model's per-edge row gathers locally dense instead of
+        # random-row DMA (ops/padding.py::morton_order). The permutation is
+        # surfaced as VxSplitGraphs.node_perm so loaders reorder u/c to
+        # match (data-layout change only; masked losses/metrics are
+        # permutation-invariant).
+        self.morton = morton
 
     def _search(self, data: np.ndarray, queries: np.ndarray, radius: float,
                 scale: float = 1.0):
@@ -110,9 +145,16 @@ class GraphBuilder:
 
         coords = np.full((num_samples, n_pad, d), SENTINEL, dtype=np.float32)
         node_mask = np.zeros((num_samples, n_pad), dtype=bool)
+        node_perm = (np.zeros((num_samples, n), dtype=np.int32)
+                     if self.morton else None)
 
         def build_one(i):
             x_raw = np.asarray(x_data[i], dtype=np.float64)
+            if self.morton:
+                perm = morton_order(x_raw)
+                x_raw = x_raw[perm]
+            else:
+                perm = None
             x = rescale(x_raw, (-1, 1))
             x_model = (model_transform(x_raw) if model_transform is not None
                        else x).astype(np.float32)
@@ -125,7 +167,7 @@ class GraphBuilder:
                 dec.append(PaddedGraph(
                     np.pad(dg.indices, ((0, pad_rows), (0, 0))),
                     np.pad(dg.mask, ((0, pad_rows), (0, 0)))))
-            return i, x_model, enc, dec
+            return i, x_model, enc, dec, perm
 
         enc_per_sample = [None] * num_samples
         dec_per_sample = [None] * num_samples
@@ -134,11 +176,13 @@ class GraphBuilder:
                 results = list(pool.map(build_one, range(num_samples)))
         else:
             results = [build_one(i) for i in range(num_samples)]
-        for i, x_scaled, enc, dec in results:
+        for i, x_scaled, enc, dec, perm in results:
             coords[i, :n] = x_scaled
             node_mask[i, :n] = True
             enc_per_sample[i] = enc
             dec_per_sample[i] = dec
+            if perm is not None:
+                node_perm[i] = perm
 
         num_scales = len(scales)
         encoder = [stack_graphs([enc_per_sample[i][s] for i in range(num_samples)])
@@ -146,7 +190,8 @@ class GraphBuilder:
         decoder = [stack_graphs([dec_per_sample[i][s] for i in range(num_samples)])
                    for s in range(num_scales)]
         return VxSplitGraphs(coords=coords, node_mask=node_mask,
-                             encoder=encoder, decoder=decoder)
+                             encoder=encoder, decoder=decoder,
+                             node_perm=node_perm)
 
     # -- disk cache (CachedGraphBuilder equivalent, reference
     # graph_builder.py:177-285) --------------------------------------------
@@ -163,6 +208,7 @@ class GraphBuilder:
             "pad": self.pad_multiple, "cap": self.neighbor_cap,
             "node_pad": self.node_pad_multiple, "samples": num_samples,
             "tgraphs": with_transpose, "bucketing": bucketing,
+            "morton": self.morton,
         }, sort_keys=True)
         digest = hashlib.sha1(key.encode()).hexdigest()[:16]
         return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
@@ -220,6 +266,7 @@ class GraphBuilder:
             neighbor_cap=magno.neighbor_cap,
             strategy=magno.neighbor_strategy,
             knn_k=magno.max_neighbors or 16,
+            morton=magno.morton_ordering,
         )
 
     def build_all_vx_graphs(self, data_splits: Dict, latent_queries: np.ndarray,
@@ -335,6 +382,8 @@ def vx_graph_buffers(graphs: VxSplitGraphs) -> Dict[str, np.ndarray]:
                 transpose under the same t-keys.
     """
     bufs = {"x": graphs.coords, "node_mask": graphs.node_mask}
+    if graphs.node_perm is not None:
+        bufs["node_perm"] = graphs.node_perm
 
     def put(p, s, g, tg):
         if isinstance(g, BatchedBucketedGraph):
@@ -409,7 +458,8 @@ def vx_split_from_buffers(bufs: Dict[str, np.ndarray],
     enc, dec, enc_t, dec_t = vx_batch_graphs(bufs, num_scales)
     return VxSplitGraphs(coords=bufs["x"], node_mask=bufs["node_mask"],
                          encoder=enc, decoder=dec,
-                         encoder_t=enc_t, decoder_t=dec_t)
+                         encoder_t=enc_t, decoder_t=dec_t,
+                         node_perm=bufs.get("node_perm"))
 
 
 def bucketize_vx_splits(built: List[VxSplitGraphs], q_lat: int,

@@ -176,16 +176,21 @@ def make_static_vx_loader(c: Optional[np.ndarray], u: np.ndarray,
     ``graphs`` is a VxSplitGraphs; u/c are per-sample arrays [S, N, ·]
     (unpadded N — they are padded here to the graph's N_pad).
     """
-    from .graph_builder import vx_graph_buffers
+    from .graph_builder import apply_node_perm, vx_graph_buffers
 
     n_pad = graphs.coords.shape[1]
 
     def pad_nodes(a):
+        # Match the graphs' node layout: Morton permutation first (the
+        # coords were reordered at graph build — graph_builder.py), then
+        # sentinel-row padding to N_pad.
+        a = apply_node_perm(graphs.node_perm, a)
         if a.shape[1] == n_pad:
             return a
         return np.pad(a, ((0, 0), (0, n_pad - a.shape[1]), (0, 0)))
 
     buffers = {"u": pad_nodes(u), **vx_graph_buffers(graphs)}
+    buffers.pop("node_perm", None)  # build-time record, not a batch buffer
     if c is not None:
         buffers["c"] = pad_nodes(c)
     return _buffers_loader(buffers, len(u), batch_size, shuffle, seed,

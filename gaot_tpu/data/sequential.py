@@ -191,8 +191,13 @@ class DynamicPairBatcher:
                  x_data: Optional[np.ndarray] = None, graphs=None):
         """``graphs`` (a VxSplitGraphs) switches on vx mode: per-sample padded
         graphs/coords/node-masks are emitted with each batch, and u/c are
-        node-padded to the graphs' N_pad."""
+        Morton-reordered to the graphs' node layout and node-padded to the
+        graphs' N_pad."""
         if graphs is not None:
+            from .graph_builder import apply_node_perm
+
+            u_data = apply_node_perm(graphs.node_perm, u_data)
+            c_data = apply_node_perm(graphs.node_perm, c_data)
             n_pad = graphs.coords.shape[1]
             pad = n_pad - u_data.shape[2]
             if pad > 0:
@@ -388,6 +393,10 @@ class RolloutTestBatcher:
                  time_indices: np.ndarray, stats: Dict,
                  x_data: Optional[np.ndarray] = None, graphs=None):
         if graphs is not None:
+            from .graph_builder import apply_node_perm
+
+            u_data = apply_node_perm(graphs.node_perm, u_data)
+            c_data = apply_node_perm(graphs.node_perm, c_data)
             n_pad = graphs.coords.shape[1]
             pad = n_pad - u_data.shape[2]
             if pad > 0:
@@ -439,6 +448,8 @@ def _graph_buffers(graphs) -> Dict[str, np.ndarray]:
 
 def _attach_vx_graphs(batch: Dict, graphs, sample_idx: np.ndarray) -> None:
     """Attach per-sample padded graph arrays (same keys as the static vx
-    loader, data/loader.py)."""
+    loader, data/loader.py). node_perm is a build-time layout record (u/c
+    were already reordered in the batcher ctor) — never a batch buffer."""
     for k, v in _graph_buffers(graphs).items():
-        batch[k] = v[sample_idx]
+        if k != "node_perm":
+            batch[k] = v[sample_idx]

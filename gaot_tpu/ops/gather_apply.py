@@ -20,12 +20,22 @@ Shapes: f is [B, N, C] (fx batched) or [N, C] (vx-flattened); coef is
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .padding import TransposeGraph
+
+
+def _scan_unroll():
+    """FLOP-accounting hook (read at trace time): XLA's cost analysis counts
+    a while-loop body ONCE regardless of trip count, so bench.py's
+    compiled_flops sets GAOT_FLOPS_UNROLL=1 while re-lowering the step — the
+    per-sample d_f scans below then fully unroll and every iteration's FLOPs
+    are visible to the cost model. Never set during timed runs."""
+    return os.environ.get("GAOT_FLOPS_UNROLL") == "1"
 
 
 def _forward(coef, f, indices):
@@ -353,7 +363,8 @@ def _flat_df_scan(coef_flat, dout, edge_pos, tquery, tmask, b):
 
     _, df = jax.lax.scan(
         body, None,
-        (coef_flat.reshape(b, es, c), dout.reshape(b, qs, c), ep, tq, tm))
+        (coef_flat.reshape(b, es, c), dout.reshape(b, qs, c), ep, tq, tm),
+        unroll=_scan_unroll())
     return df.reshape(n, c)
 
 
@@ -615,7 +626,8 @@ def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
         dg = _bulk_gather(drows, tqi.T)                          # [Kt, Ns, W]
         return None, _mulred_k_dispatch(cg, dg, 1)
 
-    _, df = jax.lax.scan(body, None, (coef_xs, dout_xs, ep, tq, tm))
+    _, df = jax.lax.scan(body, None, (coef_xs, dout_xs, ep, tq, tm),
+                         unroll=_scan_unroll())
     return df.reshape(n, c)
 
 

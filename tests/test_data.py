@@ -197,3 +197,69 @@ def test_native_take_rows_matches_numpy():
         # bool and int dtypes too (graph masks/indices)
         m = rng.integers(0, 2, (512, 640)).astype(bool)
         np.testing.assert_array_equal(lib.gather_rows(m, bidx), m[bidx])
+
+
+def test_morton_vx_build_permutes_consistently():
+    """magno.morton_ordering: build_vx_split reorders nodes by Z-order and
+    surfaces node_perm; loaders must reorder u/c identically so every
+    (coord, value) pair survives. Data-layout change only."""
+    from gaot_tpu.data.graph_builder import apply_node_perm
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (3, 50, 2)).astype(np.float32)
+    lat = np.stack(np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-1, 1, 4),
+                               indexing="ij"), -1).reshape(-1, 2)
+    plain = GraphBuilder(morton=False).build_vx_split(x, lat, 0.4, [1.0])
+    sorted_ = GraphBuilder(morton=True).build_vx_split(x, lat, 0.4, [1.0])
+    assert plain.node_perm is None
+    assert sorted_.node_perm.shape == (3, 50)
+    n = 50
+    for i in range(3):
+        # coords are the original ones, reordered by node_perm
+        np.testing.assert_allclose(sorted_.coords[i, :n],
+                                   plain.coords[i, :n][sorted_.node_perm[i]],
+                                   rtol=1e-6)
+        # graphs reference the permuted node ids: encoder neighbor coords
+        # drawn via the new indices must be near their latent queries
+        m = sorted_.encoder[0].mask[i]
+        picked = sorted_.coords[i][sorted_.encoder[0].indices[i]]
+        d = np.linalg.norm(picked - lat[:, None, :], axis=-1)
+        assert (d[m] <= 0.4 + 1e-6).all()
+
+    # apply_node_perm pairs u rows with the permuted coords, for both
+    # static [S, N, C] and sequential [S, T, N, C] layouts (+ padded input)
+    u3 = rng.normal(size=(3, 50, 2)).astype(np.float32)
+    u4 = rng.normal(size=(3, 4, 50, 2)).astype(np.float32)
+    p3 = apply_node_perm(sorted_.node_perm, u3)
+    p4 = apply_node_perm(sorted_.node_perm, u4)
+    for i in range(3):
+        np.testing.assert_array_equal(p3[i], u3[i][sorted_.node_perm[i]])
+        np.testing.assert_array_equal(p4[i], u4[i][:, sorted_.node_perm[i]])
+    padded = np.pad(u3, ((0, 0), (0, 14), (0, 0)))
+    pp = apply_node_perm(sorted_.node_perm, padded)
+    np.testing.assert_array_equal(pp[:, :n], p3)
+    np.testing.assert_array_equal(pp[:, n:], 0)
+
+
+def test_morton_static_vx_loader_pairs_values_with_coords():
+    """The static vx loader must emit (x, u) batches whose per-node pairing
+    matches the unpermuted build exactly (as a set of rows)."""
+    from gaot_tpu.data.loader import make_static_vx_loader
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, (4, 30, 2)).astype(np.float32)
+    u = rng.normal(size=(4, 30, 1)).astype(np.float32)
+    lat = np.stack(np.meshgrid(np.linspace(-1, 1, 3), np.linspace(-1, 1, 3),
+                               indexing="ij"), -1).reshape(-1, 2)
+
+    def rows(builder):
+        g = builder.build_all_vx_graphs({"test": {"x": x}}, lat, 0.5, [1.0],
+                                        build_train=False)["test"]
+        loader = make_static_vx_loader(None, u, g, batch_size=4)
+        batch = next(iter(loader))
+        mask = batch["node_mask"]
+        paired = np.concatenate([batch["x"], batch["u"]], -1)
+        return {tuple(np.round(r, 5)) for s in range(4)
+                for r in paired[s][mask[s]]}
+
+    assert rows(GraphBuilder(morton=True)) == rows(GraphBuilder(morton=False))
