@@ -201,14 +201,36 @@ int gaot_knn(const float* data, int64_t n, const float* queries, int64_t q,
     lo[a] = mn;
     hi[a] = mx;
   }
-  float volume = 1.f, max_extent = 0.f;
+  float ext_a[3] = {0, 0, 0};
+  float max_extent = 0.f;
   for (int a = 0; a < dim; ++a) {
-    const float ext = std::max(hi[a] - lo[a], 1e-9f);
-    volume *= ext;
-    max_extent = std::max(max_extent, ext);
+    ext_a[a] = std::max(hi[a] - lo[a], 0.f);
+    max_extent = std::max(max_extent, ext_a[a]);
   }
-  float cell = std::pow(volume * (float)k / (float)n, 1.0f / (float)dim);
-  cell = std::max(cell, max_extent * 1e-6f);
+  if (max_extent <= 0.f) max_extent = 1e-9f;
+  // Density-matched cell over the NON-DEGENERATE axes only: for anisotropic
+  // or near-degenerate point sets (points on a line/plane embedded in
+  // 2D/3D), the dim-th root of the raw bbox volume collapses toward zero
+  // and ring expansion then probes O(ring^(dim-1)) cells per ring for up to
+  // ~1e6 rings per query. Points on a k'-dim manifold have density per
+  // k'-volume, so use the product of live extents with the effective
+  // dimension, and floor the cell so the grid never exceeds ~2048 cells
+  // per axis.
+  double prod = 1.0;
+  int eff = 0;
+  for (int a = 0; a < dim; ++a) {
+    if (ext_a[a] > max_extent * 1e-4f) {
+      prod *= (double)ext_a[a];
+      ++eff;
+    }
+  }
+  if (eff == 0) {
+    prod = (double)max_extent;
+    eff = 1;
+  }
+  float cell =
+      (float)std::pow(prod * (double)k / (double)n, 1.0 / (double)eff);
+  cell = std::max(cell, max_extent / 2048.f);
 
   Grid grid;
   grid.build(data, n, dim, cell);

@@ -88,12 +88,28 @@ def main():
                       f"delete {out} and re-run")
                 continue
             results.setdefault(case, {})[name] = r
+            # Incremental report: each finished variant lands in the output
+            # JSON immediately, so a wall-clock kill loses at most the
+            # in-flight run.
+            write_report(dict(results), args)
 
+    write_report(results, args)
+
+
+def write_report(results, args):
     committed_path = os.path.join(REPO, "parity_results.json")
     committed = {}
     if os.path.exists(committed_path):
         with open(committed_path) as f:
             committed = json.load(f)
+
+    # Merge over the committed report: running a subset of cases must not
+    # clobber previously measured noise floors for the other cases.
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("scale") == args.scale:
+            results = {**prior.get("results", {}), **results}
 
     report = {"side": "gaot_tpu", "platform": args.platform,
               "scale": args.scale, "results": results, "table": []}

@@ -164,13 +164,31 @@ def main():
                     continue
             with open(out) as f:
                 results.setdefault(case, {})[variant] = json.load(f)
+            # Incremental report: each finished variant lands in
+            # parity_perturb.json immediately, so a wall-clock kill loses at
+            # most the in-flight run (σ from a partial seed set is still a
+            # valid RMS, just wider).
+            write_report(dict(results), args)
 
+    write_report(results, args)
+
+
+def write_report(results, args):
     # Comparison vs the committed study.
     committed_path = os.path.join(REPO, "parity_results.json")
     committed = {}
     if os.path.exists(committed_path):
         with open(committed_path) as f:
             committed = json.load(f)
+
+    # Merge over the committed report: running a subset of cases must not
+    # clobber previously measured noise floors for the other cases.
+    out_path = os.path.join(REPO, "parity_perturb.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("scale") == args.scale:
+            results = {**prior.get("results", {}), **results}
 
     report = {"scale": args.scale, "results": results, "table": []}
     for case, variants in results.items():
@@ -198,9 +216,9 @@ def main():
             report["table"].append(row)
             print(json.dumps(row))
 
-    with open(os.path.join(REPO, "parity_perturb.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"wrote {os.path.join(REPO, 'parity_perturb.json')}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -139,8 +139,21 @@ def pass_gap(gap, sigma):
     return gap <= max(1e-3, 2.0 * (sigma or 0.0))
 
 
+def load_bigtest(results, workdir):
+    bigtest = {}
+    for case in sorted(results):
+        bp = os.path.join(workdir, f"bigtest_{case}.json") if workdir else ""
+        if bp and os.path.exists(bp):
+            with open(bp) as f:
+                bigtest[case] = json.load(f)
+        elif results[case].get("bigtest"):  # persisted across /tmp wipes
+            bigtest[case] = results[case]["bigtest"]
+    return bigtest
+
+
 def write_report(results, path, workdir=None):
     noise = load_noise_model()
+    bigtest = load_bigtest(results, workdir)
     lines = [
         "# PARITY — convergence parity vs the PyTorch reference",
         "",
@@ -167,31 +180,55 @@ def write_report(results, path, workdir=None):
         "indistinguishable from that intrinsic chaos. Metrics whose gap",
         "exceeds 1e-3 with no measured σ FAIL (blank σ column).",
         "",
-        "| case | metric | reference | gaot_tpu | abs gap | 2σ noise | pass |",
+        "Δ is reported SIGNED (reference − gaot_tpu): seed noise is a",
+        "symmetric model, so a gap whose sign repeats across independent",
+        "evaluations (the 16-sample metric AND the 4× enlarged test set,",
+        "flagged ◇ below) is more likely a small systematic difference being",
+        "absorbed by the noise floor than chaos — the flag keeps that",
+        "directional evidence visible rather than hidden under 2σ.",
+        "",
+        "| case | metric | reference | gaot_tpu | Δ (ref−gaot) | 2σ noise |"
+        " pass |",
         "|---|---|---|---|---|---|---|",
     ]
     worst = 0.0
     n_pass = n_total = 0
+    n_directional = 0
     for case, sides in sorted(results.items()):
         ref_m = sides["reference"]["metrics"]
         gao_m = sides["gaot_tpu"]["metrics"]
+        big = bigtest.get(case, {})
         for key in sorted(ref_m):
             if key not in gao_m:
                 continue
-            gap = abs(ref_m[key] - gao_m[key])
+            delta = ref_m[key] - gao_m[key]
+            gap = abs(delta)
             worst = max(worst, gap)
             sigma = noise.get((case, key))
             ok = pass_gap(gap, sigma)
             n_pass += ok
             n_total += 1
+            # Sign-consistency across independent evaluations: same-signed
+            # non-trivial gap on both the 16-sample and 4× test sets.
+            directional = False
+            if key in big.get("reference", {}) and key in big.get(
+                    "gaot_tpu", {}):
+                dbig = big["reference"][key] - big["gaot_tpu"][key]
+                directional = (delta * dbig > 0
+                               and min(gap, abs(dbig)) > 2.5e-4)
+            n_directional += directional
             two_sigma = f"{2 * sigma:.2e}" if sigma is not None else "—"
             lines.append(f"| {case} | {key} | {ref_m[key]:.6f} | "
-                         f"{gao_m[key]:.6f} | {gap:.2e} | {two_sigma} | "
+                         f"{gao_m[key]:.6f} | {delta:+.2e}"
+                         f"{' ◇' if directional else ''} | {two_sigma} | "
                          f"{'✅' if ok else '❌'} |")
     lines += [
         "",
         f"**{n_pass}/{n_total} rows pass.** Worst absolute gap: "
-        f"**{worst:.2e}**.",
+        f"**{worst:.2e}**."
+        + (f" ◇ = {n_directional} row(s) with sign-consistent gaps across"
+           " both test sets (possible small systematic difference within"
+           " the noise floor)." if n_directional else ""),
         "",
         "## Training-trajectory agreement",
         "",
@@ -224,14 +261,6 @@ def write_report(results, path, workdir=None):
             r = sides[side]
             lines.append(f"| {case} | {side} | {r['epochs']} | "
                          f"{r['fit_time_s']:.0f} |")
-    bigtest = {}
-    for case in sorted(results):
-        bp = os.path.join(workdir, f"bigtest_{case}.json") if workdir else ""
-        if bp and os.path.exists(bp):
-            with open(bp) as f:
-                bigtest[case] = json.load(f)
-        elif results[case].get("bigtest"):  # persisted across /tmp wipes
-            bigtest[case] = results[case]["bigtest"]
     if bigtest:
         lines += [
             "",
@@ -244,24 +273,24 @@ def write_report(results, path, workdir=None):
             "4× test set (extra samples appended with pinned normalization —",
             "the training data and the finished runs are bit-identical):",
             "",
-            "| case | metric | reference | gaot_tpu | abs gap | 2σ noise |"
-            " pass |",
+            "| case | metric | reference | gaot_tpu | Δ (ref−gaot) |"
+            " 2σ noise | pass |",
             "|---|---|---|---|---|---|---|",
         ]
         for case, b in sorted(bigtest.items()):
             # gaps holds the metric intersection (a side may drop NaNs).
             for key in sorted(b["gaps"]):
-                gap = b["gaps"][key]
+                delta = b["reference"][key] - b["gaot_tpu"][key]
                 # The seed-noise σ is measured on the 16-sample metric; the
                 # 4× test set shrinks median-selection noise, so the same σ
                 # is conservative-in-spirit but reported as-is.
                 sigma = noise.get((case, key))
                 two_sigma = f"{2 * sigma:.2e}" if sigma is not None else "—"
-                ok = "✅" if pass_gap(gap, sigma) else "❌"
+                ok = "✅" if pass_gap(abs(delta), sigma) else "❌"
                 lines.append(
                     f"| {case} (n={b['test_size']}) | {key} | "
                     f"{b['reference'][key]:.6f} | {b['gaot_tpu'][key]:.6f} | "
-                    f"{gap:.2e} | {two_sigma} | {ok} |")
+                    f"{delta:+.2e} | {two_sigma} | {ok} |")
     lines += [
         "",
         "## Reference quirks the study controls for",

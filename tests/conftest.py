@@ -39,8 +39,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: heavy end-to-end / parity tests, opt-in via --runslow "
-        "(default tier targets <3 min on a single CPU core; full tier "
-        "~15-20 min)")
+        "(default tier: ~5 min solo on this box's single CPU core, up to "
+        "~2x under load; full tier ~15-25 min)")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -257,6 +257,7 @@ def test_fused_bf16_geoembed_keeps_fp32_coords(monkeypatch):
     np.testing.assert_allclose(out_fused, out_xla, rtol=1e-1, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_fused_magno_geoembed_sharing(monkeypatch):
     """MAGNO-level fused routes with use_geoembed=True: geoembed consumes
     the coordinate slice of the fused kernel's gathered rows (return_rep)
@@ -279,7 +280,10 @@ def test_fused_magno_geoembed_sharing(monkeypatch):
     from gaot_tpu.ops import pad_csr, radius_search
 
     rng = np.random.default_rng(7)
-    s, n, q_lat = 2, 64, 48
+    # Sizes chosen for interpret-mode cost: the fused kernel runs in Pallas
+    # interpret mode on CPU, which is ~1000x slower than compiled — this
+    # test's wall time is linear in rows*K.
+    s, n, q_lat = 2, 40, 24
     coords = rng.uniform(-1, 1, (s, n, 2)).astype(np.float32)
     lat = rng.uniform(-1, 1, (q_lat, 2)).astype(np.float32)
     pndata = rng.normal(size=(s, n, 3)).astype(np.float32)

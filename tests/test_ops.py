@@ -1,4 +1,6 @@
 """Tests for neighbor search, padding, masked segment ops, and edge drop."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +86,37 @@ def test_knn_backends_agree(dim):
                                rtol=1e-5, atol=1e-6)
     # cpp rows come back sorted by distance
     assert (np.diff(d_c, axis=1) >= -1e-6).all()
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_knn_cpp_degenerate_geometry(dim):
+    """Anisotropic / near-degenerate point sets (points on a line or plane
+    embedded in 2D/3D) must not hit the grid-cell performance cliff: the
+    cell size derives from the NON-DEGENERATE extents only (effective
+    manifold dimension), so this completes in milliseconds and matches the
+    KD-tree. Regression test for the volume^(1/dim) cell collapse."""
+    rng = np.random.default_rng(5)
+    n, k = 4000, 6
+    t = rng.uniform(-1, 1, (n, 1))
+    if dim == 2:  # line y = 0.3x + fp-level jitter
+        data = np.concatenate([t, 0.3 * t + rng.normal(0, 1e-9, (n, 1))], 1)
+    else:  # plane z ~ const
+        data = np.concatenate(
+            [t, rng.uniform(-1, 1, (n, 1)), rng.normal(0, 1e-9, (n, 1))], 1)
+    data = data.astype(np.float64)
+    queries = data[::20]
+    t0 = time.perf_counter()
+    idx_c, rs_c = knn_search(data, queries, k, method="cpp")
+    elapsed = time.perf_counter() - t0
+    idx_t, _ = knn_search(data, queries, k, method="kdtree")
+    q = queries.shape[0]
+    d_c = np.linalg.norm(data[idx_c.reshape(q, k)] - queries[:, None],
+                         axis=-1)
+    d_t = np.linalg.norm(data[idx_t.reshape(q, k)] - queries[:, None],
+                         axis=-1)
+    np.testing.assert_allclose(np.sort(d_c, 1), np.sort(d_t, 1),
+                               rtol=1e-5, atol=1e-6)
+    assert elapsed < 5.0, f"degenerate-geometry kNN took {elapsed:.1f}s"
 
 
 def test_knn_cpp_far_query_and_k_clamp():
