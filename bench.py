@@ -363,23 +363,38 @@ def compiled_flops(jitted, *args, **kwargs):
                 os.environ[k] = v
 
 
+def force(x) -> float:
+    """Fetch a scalar VALUE from the last element of x — the only reliable
+    execution barrier on the tunneled (axon) TPU runtime; see
+    gaot_tpu/utils/timing.py for the measured semantics."""
+    from gaot_tpu.utils.timing import force_value
+
+    return force_value(x)
+
+
 def timed_repeats(run_once, samples_per_rep, repeats):
     """Repeated adjacent measurement blocks → median + min/max spread.
 
     The round-3 verdict measured 535-1164 samples/s for identical code under
     a single-block harness; every published number now carries its own
-    spread so real wins are distinguishable from environment noise."""
+    spread so real wins are distinguishable from environment noise.
+
+    run_once must RETURN the final loss array; each rep's timed window ends
+    with a forced value fetch of it (see force()) — without the fetch the
+    tunneled runtime dispatches lazily and the block measures nothing."""
     rates = []
+    last_loss = None
     for i in range(repeats):
         t0 = time.perf_counter()
-        run_once()
+        last_loss = force(run_once())
         dt = time.perf_counter() - t0
         rates.append(samples_per_rep / dt)
-        log(f"  rep {i + 1}/{repeats}: {dt:.3f}s → {rates[-1]:.1f} samples/s")
+        log(f"  rep {i + 1}/{repeats}: {dt:.3f}s → {rates[-1]:.1f} samples/s"
+            f" (loss={last_loss:.4f})")
     srt = sorted(rates)
     return {"value": round(float(np.median(rates)), 2),
             "spread": [round(srt[0], 2), round(srt[-1], 2)],
-            "repeats": repeats}
+            "repeats": repeats, "loss": round(last_loss, 4)}
 
 
 def attach_mfu(out, sps, flops_per_step, batch_size):
@@ -410,7 +425,7 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
     for _ in range(warmup):
         state["params"], state["opt_state"], loss = train_step(
             state["params"], state["opt_state"], key, make_indices(step_rng))
-    jax.block_until_ready(loss)
+    force(loss)  # value fetch: the only real execution barrier (see force())
     warmup_s = time.perf_counter() - t0
     log(f"warmup ({warmup} steps incl. compile): {warmup_s:.2f}s")
     flops_per_step = compiled_flops(train_step, state["params"],
@@ -422,7 +437,7 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
             state["params"], state["opt_state"], loss = train_step(
                 state["params"], state["opt_state"], key,
                 make_indices(step_rng))
-        jax.block_until_ready(loss)
+        return loss
 
     stats = timed_repeats(once, batch_size * iters, repeats)
     out = {"metric": "train_throughput_vx", "unit": "samples/sec/chip",
@@ -453,7 +468,10 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
         state["params"], state["opt_state"], losses = epoch_fn(
             state["params"], state["opt_state"], key,
             make_epoch_indices(host_rng, k))
-        jax.block_until_ready(losses)
+        # Value fetch: the only real execution barrier on the tunneled
+        # runtime (see force()) — block_until_ready returns before the
+        # deferred compile even starts.
+        force(losses)
         warmup_s = time.perf_counter() - t0
         log(f"warmup (1 epoch of {k} steps incl. compile): {warmup_s:.2f}s")
         # FLOPs from the PER-STEP program: the epoch-scan program's while
@@ -466,7 +484,7 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
             state["params"], state["opt_state"], losses = epoch_fn(
                 state["params"], state["opt_state"], key,
                 make_epoch_indices(host_rng, k))
-            jax.block_until_ready(losses)
+            return losses
 
         stats = timed_repeats(once, batch_size * k, repeats)
     else:
@@ -474,7 +492,7 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
         for _ in range(warmup):
             state["params"], state["opt_state"], loss = train_step(
                 state["params"], state["opt_state"], key, pndata, target)
-        jax.block_until_ready(loss)
+        force(loss)  # value fetch: see force()
         warmup_s = time.perf_counter() - t0
         log(f"warmup ({warmup} steps incl. compile): {warmup_s:.2f}s")
         flops_per_step = compiled_flops(train_step, state["params"],
@@ -485,7 +503,7 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
             for _ in range(iters):
                 state["params"], state["opt_state"], loss = train_step(
                     state["params"], state["opt_state"], key, pndata, target)
-            jax.block_until_ready(loss)
+            return loss
 
         stats = timed_repeats(once, batch_size * iters, repeats)
 

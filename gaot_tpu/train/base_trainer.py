@@ -343,9 +343,12 @@ class BaseTrainer(ABC):
                 t_ep = time.perf_counter()
                 epoch_losses = [self.train_epoch_scan()]  # [k] device array
                 if len(scan_epoch_times) < 2:
-                    # First dispatch blocks on the scan-program compile;
+                    # First FETCH blocks on the scan-program compile;
                     # first-minus-second epoch wall time ≈ compile cost.
-                    jax.block_until_ready(epoch_losses[0])
+                    # (A bare block_until_ready is not a barrier on the
+                    # tunneled runtime — utils/timing.py.)
+                    from ..utils.timing import force_value
+                    force_value(epoch_losses[0])
                     scan_epoch_times.append(time.perf_counter() - t_ep)
                     if len(scan_epoch_times) == 2:
                         record_compile_time(scan_key, max(
@@ -378,7 +381,11 @@ class BaseTrainer(ABC):
                 if verbose:
                     print(f"epoch {epoch + 1}/{args.epoch} "
                           f"loss {train_loss:.3e} val {val_loss:.3e}")
-        jax.block_until_ready(self.params)
+        # Value fetch (not block_until_ready): forces any still-deferred
+        # epoch programs to execute before the clock stops — see
+        # utils/timing.py for the tunneled-runtime semantics.
+        from ..utils.timing import force_value
+        force_value(jax.tree.leaves(self.params)[0])
         elapsed = time.perf_counter() - start
 
         if best_params is not None:

@@ -54,15 +54,20 @@ def main(per_device_batch=8, num_nodes=2048, iters=10):
         placed = shard_batch({"pndata": np.asarray(pndata),
                               "target": np.asarray(target)}, mesh, batch_size)
         key = jax.random.key(0)
+        from gaot_tpu.utils.timing import force_value
+
         for _ in range(2):  # compile + settle
             params, opt_state, loss = train_step(
                 params, opt_state, key, placed["pndata"], placed["target"])
-        jax.block_until_ready(loss)
+        # Value fetches, not block_until_ready — the tunneled runtime
+        # defers compile+execution until a value is fetched
+        # (utils/timing.py).
+        force_value(loss)
         t0 = time.perf_counter()
         for _ in range(iters):
             params, opt_state, loss = train_step(
                 params, opt_state, key, placed["pndata"], placed["target"])
-        jax.block_until_ready(loss)
+        force_value(loss)
         dt = time.perf_counter() - t0
         rate = iters * batch_size / dt
         if base_rate is None:

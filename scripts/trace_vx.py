@@ -43,13 +43,18 @@ def capture(layout="bucketed", batch_size=16, num_nodes=8192, train_size=16,
         def step(params, opt_state):
             return train_step(params, opt_state, key, make_indices(rng))
 
+    from gaot_tpu.utils.timing import force_value
+
     for _ in range(2):
         params, opt_state, loss = step(params, opt_state)
-    jax.block_until_ready(loss)
+    # Value fetch, not block_until_ready: the tunneled runtime defers
+    # compile+execution until a value is fetched (utils/timing.py) — a
+    # lazily-dispatched loop would profile as an empty trace.
+    force_value(loss)
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             params, opt_state, loss = step(params, opt_state)
-        jax.block_until_ready(loss)
+        force_value(loss)
     return trace_dir
 
 
