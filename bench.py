@@ -340,11 +340,23 @@ def compiled_flops(jitted, *args, **kwargs):
                  "GAOT_FLOPS_UNROLL": "1"}
     import functools
 
+    import jax
+
     if isinstance(jitted, functools.partial):
         # Workload step functions bind their device-resident data with
         # functools.partial (data as jit argument, not closure constants).
         args = (*jitted.args, *args)
         jitted = jitted.func
+    # Re-jit the UNDERLYING python function: calling .lower() on the benched
+    # jit reuses jax's cached trace from the measured execution, so the
+    # env-gate overrides above would be silently ignored for any function
+    # that already ran (round-3/4 symptom: vx counted 7.1 GF/sample when the
+    # fused route was live vs 15.56 with it off — the cached Pallas trace,
+    # whose custom calls the cost model counts as zero). A fresh jit object
+    # has an empty cache, so the trace below runs under the overrides.
+    inner = getattr(jitted, "__wrapped__", None)
+    if inner is not None:
+        jitted = jax.jit(functools.partial(inner))
     saved = {k: os.environ.get(k) for k in overrides}
     os.environ.update(overrides)
     try:
@@ -546,6 +558,11 @@ def run_ablate(mode, run_default):
         settings = [
             ("fused_agno_on", {"GAOT_FUSED_AGNO": "1"}),
             ("fused_agno_off", {"GAOT_FUSED_AGNO": "0"}),
+            # Morton (default-on since round 4) re-ordered nodes change the
+            # degree-bucket fill and gather locality; attribute it on the
+            # XLA route (vs fused_agno_off) — re-bucketed shapes would
+            # otherwise force a fresh Mosaic compile of every fused kernel.
+            ("morton_off", {"GAOT_FUSED_AGNO": "0", "BENCH_MORTON": "0"}),
         ]
     else:
         settings = [
