@@ -172,8 +172,11 @@ class MAGNOConfig:
     fused_agno: str = "auto"             # route the per-edge AGNO pipeline
                                          # through the fused Pallas kernel
                                          # (ops/pallas/fused_agno.py):
-                                         # 'auto' (bf16 on TPU when the
-                                         # shapes are supported), 'on', 'off'.
+                                         # 'auto' = XLA route (measured: the
+                                         # kernel buys +3.3% at 8k nodes, 0%
+                                         # at 16k, and adds 250-1500 s of
+                                         # uncached Mosaic compile), 'on'
+                                         # opts in for long bf16 runs.
                                          # GAOT_FUSED_AGNO=0/1 overrides.
     morton_ordering: bool = True         # Morton (Z-order) sort vx nodes at
                                          # graph build so per-edge row

@@ -171,15 +171,23 @@ class AGNO(nn.Module):
             # reshape, and Pallas operand) to f32 — measured ~17 ms/step of
             # pure layout copies on the vx flagship.
             coef = kernel
+            # One [·, K] scale (attention/quadrature/mean-divisor + mask)
+            # applied as a single fusible multiply — a full-width jnp.where
+            # materializes between producer and custom-call consumers (see
+            # _edge_scale_km).
             if attention is not None:
-                coef = coef * attention[..., None].astype(coef.dtype)
-            if weights is not None:
-                coef = coef * weights[indices][..., None].astype(coef.dtype)
-            elif attention is None:  # mean reduce
-                counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-                coef = coef / counts[..., None].astype(coef.dtype)
-            coef = jnp.where(mask[..., None] if coef.ndim == 3
-                             else mask[None, ..., None], coef, 0)
+                scale = attention
+                if weights is not None:
+                    scale = scale * weights[indices]
+            elif weights is not None:
+                scale = weights[indices]
+            else:                              # mean reduce over real edges
+                counts = jnp.maximum(
+                    jnp.sum(mask, axis=-1, keepdims=True), 1)
+                scale = 1.0 / counts.astype(jnp.float32)
+            scale = jnp.where(mask, scale, 0)[..., None]
+            coef = coef * (scale if coef.ndim == scale.ndim
+                           else scale[None]).astype(coef.dtype)
             from ..utils.routing import record_route
             record_route("agno", "xla-tgraph")
             return apply_graph_transform(coef, f_y, graph, tgraph,
@@ -244,17 +252,33 @@ class AGNO(nn.Module):
         self_b = jnp.broadcast_to(self_c, rep_km.shape[:-1] + (x.shape[-1],))
         agg = jnp.concatenate([rep_km, self_b], axis=-1)         # [K, Q, d1+d2]
         coef = self.channel_mlp(agg)                             # [K, Q, C]
-        if attention is not None:
-            coef = coef * attention[..., None].astype(coef.dtype)
-        if weights is not None:
-            coef = coef * weights[idx_t][..., None].astype(coef.dtype)
-        elif attention is None:  # mean reduce
-            counts = jnp.maximum(jnp.sum(mask_t, axis=0, keepdims=True), 1)
-            coef = coef / counts[..., None].astype(coef.dtype)
-        coef = jnp.where(mask_t[..., None], coef, 0)
+        # Fold attention/quadrature/mean-divisor AND the edge mask into one
+        # [K, Q] scale, applied as a single elementwise multiply. A
+        # jnp.where on the full [K, Q, C] coef cannot fuse into the Pallas
+        # multiply-reduce custom call (custom-call operands materialize),
+        # which cost two full HBM round-trips of coef per step (fwd select
+        # + bwd select, 134 MB each at the 8k-node decoder) — the multiply
+        # fuses into the MLP's output fusion instead.
+        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
+        coef = coef * scale[..., None].astype(coef.dtype)
         return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph.edge_pos,
                                          tgraph.query, tgraph.mask,
                                          num_samples)
+
+    @staticmethod
+    def _edge_scale_km(attention, weights_g, idx_t, mask_t):
+        """[K, Q] per-edge scale: attention and/or quadrature weights (mean
+        divisor when neither), zeroed on masked edges."""
+        if attention is not None:
+            scale = attention
+            if weights_g is not None:
+                scale = scale * weights_g[idx_t]
+        elif weights_g is not None:
+            scale = weights_g[idx_t]
+        else:                                  # mean reduce over real edges
+            counts = jnp.maximum(jnp.sum(mask_t, axis=0, keepdims=True), 1)
+            scale = 1.0 / counts.astype(jnp.float32)
+        return jnp.where(mask_t, scale, 0)
 
     def _fused_config_ok(self, y, x, f_y, weights) -> bool:
         """Config-level gate for the fused per-edge Pallas pipeline
@@ -263,22 +287,23 @@ class AGNO(nn.Module):
         quadrature weights. fp32 (the convergence-parity configuration)
         always keeps the XLA path. Mode comes from the `fused` field
         (config magno.fused_agno); GAOT_FUSED_AGNO=0/1 overrides."""
-        import jax
-
         from ..utils.routing import resolve_mode
 
         mode = resolve_mode("GAOT_FUSED_AGNO", self.fused)
-        if mode == "off":
+        if mode != "on":
+            # 'auto' resolves to the XLA route: round-4 adjacent A/B medians
+            # (BENCH_ABLATE=1, v5e) put the fused kernel at +3.3% end-to-end
+            # at 8192 nodes and +0% at its 16,384-node design point, while
+            # its Mosaic compiles add 250-1500 s of warmup per process that
+            # the persistent compile cache does not cover. Opt in with
+            # fused_agno='on' / GAOT_FUSED_AGNO=1 for long runs at ≤8k nodes
+            # where +3% outweighs the one-time compile.
             return False
         d = y.shape[-1]
         c_f = f_y.shape[-1]
         if (weights is not None or d not in (2, 3) or x.shape[-1] != d
                 or self.channel_mlp_features[-1] != c_f
                 or (self.use_attn and self.attention_type != "cosine")):
-            return False
-        if mode != "on" and not (jax.default_backend() == "tpu"
-                                 and self.dtype == jnp.bfloat16
-                                 and f_y.dtype == jnp.bfloat16):
             return False
         return True
 
@@ -402,14 +427,20 @@ class AGNO(nn.Module):
         coef = self.channel_mlp(agg)                             # [Qb, Kb, C]
         # Casts keep coef in the kernel dtype — see the tgraph branch of
         # __call__ for the measured cost of letting f32 weights promote it.
+        # Mask+attention+mean-divisor fold into one [Qb, Kb] scale so no
+        # full-width jnp.where materializes between the MLP and the Pallas
+        # consumers (see _edge_scale_km).
         if attention is not None:
-            coef = coef * attention[..., None].astype(coef.dtype)
-        if weights is not None:
-            coef = coef * weights[indices][..., None].astype(coef.dtype)
-        elif attention is None:  # mean reduce
+            scale = attention
+            if weights is not None:
+                scale = scale * weights[indices]
+        elif weights is not None:
+            scale = weights[indices]
+        else:                                  # mean reduce over real edges
             counts = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-            coef = coef / counts[..., None].astype(coef.dtype)
-        return jnp.where(mask[..., None], coef, 0)
+            scale = 1.0 / counts.astype(jnp.float32)
+        scale = jnp.where(mask, scale, 0)
+        return coef * scale[..., None].astype(coef.dtype)
 
     def fused_flat_active(self, y, x, f_y, weights, graph,
                           tgraph) -> bool:
