@@ -73,6 +73,31 @@ def flatten_vx_tgraph(tgraph: TransposeGraph, num_queries: int,
     )
 
 
+def flatten_vx_tgraph_km(tgraph: TransposeGraph, num_queries: int,
+                         k: int) -> TransposeGraph:
+    """K-major variant of :func:`flatten_vx_tgraph` for the 2D-coef flat
+    path (ops/gather_apply.py::gather_multiply_reduce_km2).
+
+    Per-sample edge (q, j) maps to flat K-major position
+    j·(B·num_queries) + b·num_queries + q — matching the row order of the
+    [K·Q, C] edge-flat coefficient (k major, folded query minor), so the
+    backward d_f gathers read the coefficient exactly as the kernel MLP
+    produced it (row-major 2D, no [Q, K, C] re-materialization). Query ids
+    are sample-major b·num_queries + q, as in the Q-major flattening.
+    """
+    b, s, kt = tgraph.edge_pos.shape
+    samp = jnp.arange(b, dtype=tgraph.edge_pos.dtype)[:, None, None]
+    q_id = tgraph.edge_pos // k                       # per-sample query
+    j_id = tgraph.edge_pos % k                        # neighbor slot
+    e_km = j_id * (b * num_queries) + samp * num_queries + q_id
+    q_off = samp.astype(tgraph.query.dtype) * num_queries
+    return TransposeGraph(
+        edge_pos=e_km.reshape(b * s, kt),
+        query=(tgraph.query + q_off).reshape(b * s, kt),
+        mask=tgraph.mask.reshape(b * s, kt),
+    )
+
+
 def flatten_vx_bucketed(bb: BatchedBucketedGraph,
                         num_sources: int) -> BucketedGraph:
     """Flatten a batch of shared-layout per-sample bucketed graphs

@@ -634,6 +634,105 @@ def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
 bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gather_multiply_reduce_km2(coef2: jnp.ndarray, f: jnp.ndarray,
+                               idx_t: jnp.ndarray, edge_pos: jnp.ndarray,
+                               tquery: jnp.ndarray, tmask: jnp.ndarray,
+                               num_samples: int = 1) -> jnp.ndarray:
+    """K-major *edge-flat* gather-multiply-reduce: coef2 [K*Q, C] with row
+    id k*Q + q, f [N, C], idx_t [K, Q]. Returns [Q, C].
+
+    The 2D-coef successor of :func:`gather_multiply_reduce_km`. Keeping the
+    per-edge coefficient 2D end to end (kernel MLP included) pins its layout
+    to the row-major {1,0} every consumer wants: XLA laid the 3D kernel-MLP
+    dot output as physical [K][C][Q], forcing three 134 MB layout copies per
+    step around the airfoil decoder (fwd Pallas operand, bwd MLP operand,
+    bwd edge-flat view). The [K, Q, C] view handed to the Pallas reduce is a
+    bitcast of coef2, and — because edge_pos now carries K-MAJOR edge ids
+    (models/magno.py::flatten_vx_tgraph_km, e = k*Q + q) — the backward d_f
+    gathers read coef2 directly with no swapaxes materialization.
+    """
+    return _km2_fwd(coef2, f, idx_t, edge_pos, tquery, tmask, num_samples)[0]
+
+
+def _km2_fwd(coef2, f, idx_t, edge_pos, tquery, tmask, num_samples=1):
+    k, qx = idx_t.shape
+    c = coef2.shape[-1]
+    gath_km = _bulk_gather(f, idx_t)                  # [K, Q, C]
+    out = _mulred_k_dispatch(coef2.reshape(k, qx, c), gath_km, 1)
+    return out, (coef2, gath_km, edge_pos, tquery, tmask)
+
+
+def _km2_bwd(num_samples, res, dout):
+    coef2, gath_km, edge_pos, tquery, tmask = res
+    f_dtype = gath_km.dtype
+    k, qx, c = gath_km.shape[0], gath_km.shape[1], coef2.shape[-1]
+    dout = dout.astype(f_dtype)
+    d_coef = _mulred_b_dispatch(gath_km, dout, 1, c).reshape(
+        k * qx, c).astype(coef2.dtype)
+    d_f = _flat_df_km(coef2.astype(f_dtype), dout, edge_pos, tquery, tmask,
+                      num_samples, k)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (d_coef, d_f, jnp.zeros((k, qx), jnp.int32),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+gather_multiply_reduce_km2.defvjp(_km2_fwd, _km2_bwd)
+
+
+def _flat_df_km(coef2, dout, edge_pos, tquery, tmask, num_samples, k):
+    """d_f for the K-major edge-flat layout: identical gather structure to
+    :func:`_flat_df`, but edge_pos indexes coef2's k*Q + q rows directly —
+    no [Q, K, C] re-materialization. coef2: [K*Q, C]; dout: [Q, C]."""
+    f_dtype = dout.dtype
+    if (num_samples > 1
+            and dout.shape[0] % num_samples == 0
+            and tmask.shape[0] % num_samples == 0):
+        return _flat_df_km_scan(coef2, dout, edge_pos, tquery, tmask,
+                                num_samples, k).astype(f_dtype)
+    cg = jnp.where(tmask.T[..., None],
+                   _bulk_gather(coef2, edge_pos.T), 0)          # [Kt, N, C]
+    dg_km = _bulk_gather(dout, tquery.T)                        # [Kt, N, C]
+    return _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
+
+
+def _flat_df_km_scan(coef2, dout, edge_pos, tquery, tmask, b, k):
+    """Per-sample-slab d_f scan for the K-major edge-flat layout.
+
+    Same source-footprint argument as :func:`_flat_df_scan`. Sample s's
+    coef rows sit at j*(b*qs) + s*qs + q — K slabs strided across samples —
+    so the slab is a middle-axis dynamic slice of the [K, b, qs*C] bitcast
+    view (contiguous per (j, s)), reshaped (bitcast) to the per-sample
+    K-major flat [k*qs, C]. Global km edge ids localize with one div/mod:
+    e_local = (e // (b*qs))*qs + e % (b*qs) - s*qs.
+    """
+    e, c = coef2.shape
+    q = dout.shape[0]
+    n, kt = tmask.shape
+    qs, ns = q // b, n // b
+    samp = jnp.arange(b, dtype=edge_pos.dtype)[:, None, None]
+    ep_g = edge_pos.reshape(b, ns, kt)
+    ep = jnp.clip((ep_g // (b * qs)) * qs + ep_g % (b * qs) - samp * qs,
+                  0, k * qs - 1)
+    tq = jnp.clip(tquery.reshape(b, ns, kt) - samp * qs, 0, qs - 1)
+    tm = tmask.reshape(b, ns, kt)
+    cview = coef2.reshape(k, b, qs * c)
+
+    def body(_, args):
+        i, ds, epi, tqi, tmi = args
+        slab = jax.lax.dynamic_slice_in_dim(cview, i, 1, 1).reshape(
+            k * qs, c)
+        cg = jnp.where(tmi.T[..., None], _bulk_gather(slab, epi.T), 0)
+        dg = _bulk_gather(ds, tqi.T)                  # [Kt, Ns, C]
+        return None, _mulred_k_dispatch(cg, dg, 1)
+
+    _, df = jax.lax.scan(
+        body, None,
+        (jnp.arange(b), dout.reshape(b, qs, c), ep, tq, tm),
+        unroll=_scan_unroll())
+    return df.reshape(n, c)
+
+
 def apply_bucketed_graph_transform(coefs, f, bg,
                                    num_samples: int = 1) -> jnp.ndarray:
     """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C] (fx batched, shared

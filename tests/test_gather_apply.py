@@ -220,3 +220,68 @@ def test_nbc_pallas_consumer_integration_matches_einsum(monkeypatch):
     valid = g.mask[..., None]
     np.testing.assert_allclose(np.asarray(gc) * valid, np.asarray(gc_ref) * valid,
                                rtol=1e-4, atol=1e-5)
+
+
+def _vx_flat_setup(seed=7, b=4, n=40, q=16, c=8):
+    """Flat vx batch with BOTH tgraph numberings (Q-major and K-major)."""
+    from gaot_tpu.models.magno import (flatten_vx_graph, flatten_vx_tgraph,
+                                       flatten_vx_tgraph_km)
+    from gaot_tpu.ops.padding import repad, repad_tgraph, stack_graphs
+
+    rng = np.random.default_rng(seed)
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (q, 2))
+    gs = [pad_csr(*radius_search(srcs[i], dst, 0.5), pad_multiple=4)
+          for i in range(b)]
+    k = max(g.k for g in gs)
+    gs = [repad(g, k) for g in gs]
+    ts = [transpose_graph(g, n) for g in gs]
+    kt = max(t.edge_pos.shape[-1] for t in ts)
+    ts = [repad_tgraph(t, kt) for t in ts]
+    stacked = stack_graphs(gs)
+    t_st = type(ts[0])(jnp.asarray(np.stack([t.edge_pos for t in ts])),
+                       jnp.asarray(np.stack([t.query for t in ts])),
+                       jnp.asarray(np.stack([t.mask for t in ts])))
+    flat_g = flatten_vx_graph(
+        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
+    flat_t = flatten_vx_tgraph(t_st, q, k)
+    flat_t_km = flatten_vx_tgraph_km(t_st, q, k)
+    coef_km = jnp.asarray(rng.normal(size=(k, b * q, c)).astype(np.float32))
+    coef_km = coef_km * flat_g.mask.T[..., None]
+    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
+    return flat_g, flat_t, flat_t_km, coef_km, f, (b, n, q, k, c)
+
+
+@pytest.mark.parametrize("num_samples", [1, 4])
+def test_km2_matches_qmajor_flat(num_samples):
+    """gather_multiply_reduce_km2 (2D K-major edge-flat coef + K-major
+    tgraph ids) must match the Q-major flat custom VJP in value and grads
+    for the same per-edge coefficients."""
+    from gaot_tpu.ops.gather_apply import gather_multiply_reduce_km2
+
+    flat_g, flat_t, flat_t_km, coef_km, f, (b, n, q, k, c) = _vx_flat_setup()
+
+    def loss_km2(coef_km, f):
+        coef2 = coef_km.reshape(-1, c)
+        return jnp.sum(gather_multiply_reduce_km2(
+            coef2, f, flat_g.indices.T, flat_t_km.edge_pos, flat_t_km.query,
+            flat_t_km.mask, num_samples) ** 2)
+
+    def loss_qmajor(coef_km, f):
+        coef = jnp.swapaxes(coef_km, 0, 1)
+        return jnp.sum(gather_multiply_reduce(
+            coef, f, flat_g.indices, flat_t.edge_pos, flat_t.query,
+            flat_t.mask, num_samples) ** 2)
+
+    out_km2 = loss_km2(coef_km, f)
+    out_q = loss_qmajor(coef_km, f)
+    np.testing.assert_allclose(np.asarray(out_km2), np.asarray(out_q),
+                               rtol=1e-5)
+    gc2, gf2 = jax.grad(loss_km2, argnums=(0, 1))(coef_km, f)
+    gcq, gfq = jax.grad(loss_qmajor, argnums=(0, 1))(coef_km, f)
+    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gfq),
+                               rtol=1e-4, atol=1e-5)
+    valid = flat_g.mask.T[..., None]
+    np.testing.assert_allclose(np.asarray(gc2) * valid,
+                               np.asarray(gcq) * valid,
+                               rtol=1e-4, atol=1e-5)
