@@ -99,7 +99,8 @@ def flatten_vx_tgraph_km(tgraph: TransposeGraph, num_queries: int,
 
 
 def flatten_vx_bucketed(bb: BatchedBucketedGraph,
-                        num_sources: int) -> BucketedGraph:
+                        num_sources: int,
+                        km_edges: bool = False) -> BucketedGraph:
     """Flatten a batch of shared-layout per-sample bucketed graphs
     (ops/padding.py::bucketize_graphs_stacked, batch-sliced to leading B)
     into ONE flat BucketedGraph over the concatenated source set — the
@@ -111,6 +112,11 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
         e = r·K_j + k (matching the coef concat in
         ops/gather_apply.py::_bucketed_bwd);
       original query space: sample-major flat [B·Q].
+
+    km_edges=True numbers edges K-MAJOR within each bucket instead —
+    position B·Σ(R·K)_{<j} + k·B·R_j + s·R_j + r — matching the 2D
+    [K_j·Qb_j, C] coefficient rows of the K-major bucketed path
+    (ops/gather_apply.py::bucketed_gather_multiply_reduce_km).
     """
     b, q = bb.inv_perm.shape
     rs = list(bb.bucket_rows)
@@ -131,6 +137,21 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
                             b * lo + s * int(stride[j]) + (pos - lo), out)
         return out
 
+    def remap_edges_km(pos):
+        """Per-sample concat edge position → flat K-major bucket position:
+        local r·K_j + k → k·(B·R_j) + s·R_j + r."""
+        out = jnp.zeros_like(pos)
+        s = jnp.arange(b, dtype=pos.dtype).reshape((b,) + (1,) * (pos.ndim - 1))
+        for j in range(nb):
+            lo = int(e_base[j])
+            sel = (pos >= lo) & (pos < lo + int(sizes_e[j]))
+            local = pos - lo
+            r = local // ks[j]
+            k_id = local % ks[j]
+            out = jnp.where(sel,
+                            b * lo + k_id * (b * rs[j]) + s * rs[j] + r, out)
+        return out
+
     buckets = []
     for g, k in zip(bb.buckets, ks):
         off = (jnp.arange(b, dtype=g.indices.dtype) * num_sources)[:, None, None]
@@ -140,9 +161,10 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
     tg = None
     if bb.tgraph is not None:
         kt = bb.tgraph.edge_pos.shape[-1]
+        ep = (remap_edges_km(bb.tgraph.edge_pos) if km_edges
+              else remap(bb.tgraph.edge_pos, e_base, sizes_e, sizes_e))
         tg = TransposeGraph(
-            edge_pos=remap(bb.tgraph.edge_pos, e_base, sizes_e,
-                           sizes_e).reshape(-1, kt),
+            edge_pos=ep.reshape(-1, kt),
             query=remap(bb.tgraph.query, r_base, rs, rs).reshape(-1, kt),
             mask=bb.tgraph.mask.reshape(-1, kt))
 

@@ -733,6 +733,167 @@ def _flat_df_km_scan(coef2, dout, edge_pos, tquery, tmask, b, k):
     return df.reshape(n, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def bucketed_gather_multiply_reduce_km(coefs2, f, indices, edge_pos, tquery,
+                                       tmask, num_samples: int = 1):
+    """K-major edge-flat bucketed gather-multiply-reduce (vx-flattened).
+
+    coefs2: per-bucket 2D [K_j·Qb_j, C] coefficients with row id k·Qb_j + q
+    (padded edges zeroed); f: [N, 1, C]; indices: per-bucket [Qb_j, K_j];
+    edge_pos/tquery/tmask: combined transpose graph with K-MAJOR edge ids
+    (models/magno.py::flatten_vx_bucketed km_edges=True). Returns [R, 1, C].
+
+    The bucketed analogue of :func:`gather_multiply_reduce_km2`: 2D coefs
+    keep the kernel-MLP dot outputs row-major (no [Qb][C][Kb]-physical
+    layouts to copy around the Pallas operands), the forward needs no
+    swapaxes, d_coef returns in the producer's layout, and the d_f
+    edge-flat view is a plain concat of the 2D coefs.
+    """
+    return _bucketed_km_fwd(coefs2, f, indices, edge_pos, tquery, tmask,
+                            num_samples)[0]
+
+
+def _bucketed_km_fwd(coefs2, f, indices, edge_pos, tquery, tmask,
+                     num_samples=1):
+    n, b, c = f.shape
+    f2d = f.reshape(n, b * c)
+    outs, gaths = [], []
+    for coef2, idx in zip(coefs2, indices):
+        qb, kb = idx.shape
+        gath_km = _bulk_gather(f2d, idx.T)                    # [Kb, Qb, W]
+        gaths.append(gath_km)
+        outs.append(_mulred_k_dispatch(coef2.reshape(kb, qb, c), gath_km, b))
+    out = jnp.concatenate(outs, axis=0).reshape(-1, b, c)
+    return out, (coefs2, tuple(gaths), edge_pos, tquery, tmask)
+
+
+def _bucketed_km_bwd(num_samples, res, dout):
+    coefs2, gaths, edge_pos, tquery, tmask = res
+    n = tmask.shape[0]
+    c = coefs2[0].shape[-1]
+    b = gaths[0].shape[-1] // c
+    w = b * c
+    f_dtype = gaths[0].dtype
+    dout = dout.astype(f_dtype)
+    dout2 = dout.reshape(-1, w)
+
+    d_coefs, off = [], 0
+    for coef2, gath_km in zip(coefs2, gaths):
+        kb, qb = gath_km.shape[0], gath_km.shape[1]
+        d_coefs.append(_mulred_b_dispatch(
+            gath_km, dout2[off:off + qb], b, c).reshape(
+                kb * qb, c).astype(coef2.dtype))
+        off += qb
+
+    d_f = _bucketed_df_km(coefs2, tuple(g.shape[0] for g in gaths), dout2,
+                          edge_pos, tquery, tmask, num_samples,
+                          b, c).reshape(n, b, c)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (tuple(d_coefs), d_f,
+            tuple(jnp.zeros((g.shape[1], g.shape[0]), jnp.int32)
+                  for g in gaths),
+            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+
+
+def _bucketed_df_km(coefs2, kbs, dout2, edge_pos, tquery, tmask, num_samples,
+                    b, c):
+    """Combined d_f over the K-major bucket-concatenated transpose graph.
+    coefs2: per-bucket [K_j·Qb_j, C]; kbs: per-bucket K_j. The edge-flat
+    gather source is the plain concat of the 2D coefs — the Q-major path's
+    per-bucket [Qb, Kb, C] reshape/concat re-materialization disappears."""
+    f_dtype = dout2.dtype
+    n = tmask.shape[0]
+    scannable = (num_samples > 1 and b == 1
+                 and n % num_samples == 0
+                 and all((cf.shape[0] // kb) % num_samples == 0
+                         for cf, kb in zip(coefs2, kbs)))
+    if scannable:
+        return _bucketed_df_km_scan(
+            [cf.astype(f_dtype) for cf in coefs2], kbs, dout2, edge_pos,
+            tquery, tmask, num_samples).astype(f_dtype)
+    coef_flat = jnp.concatenate(list(coefs2), axis=0).astype(f_dtype)
+    cg = jnp.where(tmask.T[..., None],
+                   _bulk_gather(coef_flat, edge_pos.T), 0)    # [Kt, N, C]
+    dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
+    return _mulred_k_dispatch(cg, dg_km, b).astype(f_dtype)
+
+
+def _bucketed_df_km_scan(coefs2, kbs, dout2, edge_pos, tquery, tmask, s):
+    """Per-sample-slab d_f scan, K-major bucketed layout.
+
+    Bucket j's flat rows are s·R_j + r (bucket-major, sample-minor), so its
+    K-major coef rows k·(B·R_j) + s·R_j + r are per-(k, sample) contiguous:
+    the sample slab is a middle-axis dynamic slice of the [K_j, B, R_j·C]
+    view, reshaped (bitcast) to [K_j·R_j, C] and concatenated across
+    buckets. Global km edge ids localize per bucket with one div/mod (see
+    `unmap_km`)."""
+    c = coefs2[0].shape[-1]
+    w = dout2.shape[-1]
+    n, kt = tmask.shape
+    ns = n // s
+    rs = [cf.shape[0] // (kb * s) for cf, kb in zip(coefs2, kbs)]
+    sz = [r * kb for r, kb in zip(rs, kbs)]       # per-sample edges / bucket
+    e_base = np.concatenate([[0], np.cumsum(sz)]).astype(np.int64)
+    r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
+    kr_base = e_base                               # Σ K_j·R_j == Σ edges
+
+    views = tuple(cf.reshape(kb, s, rs_j * c)
+                  for cf, kb, rs_j in zip(coefs2, kbs, rs))
+    dout_xs = tuple(
+        dout2[s * int(r_base[j]):s * int(r_base[j + 1])].reshape(s, rs[j], w)
+        for j in range(len(rs)))
+
+    def unmap_km(pos):
+        """Global K-major edge id → per-sample K-major concat position."""
+        out = jnp.zeros_like(pos)
+        samp = jnp.arange(s, dtype=pos.dtype).reshape(s, 1, 1)
+        for j, (kb, rj) in enumerate(zip(kbs, rs)):
+            lo = s * int(e_base[j])
+            sel = (pos >= lo) & (pos < lo + s * int(sz[j]))
+            rel = pos - lo
+            k_id = rel // (s * rj)
+            rem = rel % (s * rj)
+            out = jnp.where(sel, int(kr_base[j]) + k_id * rj + rem
+                            - samp * rj, out)
+        return jnp.clip(out, 0, int(e_base[-1]) - 1)
+
+    ep = unmap_km(edge_pos.reshape(s, ns, kt))
+    samp_q = jnp.arange(s, dtype=tquery.dtype).reshape(s, 1, 1)
+    tq = _unmap_rows_km(tquery.reshape(s, ns, kt), r_base, rs, samp_q)
+    tm = tmask.reshape(s, ns, kt)
+
+    def body(_, args):
+        i, dxs, epi, tqi, tmi = args
+        slabs = [jax.lax.dynamic_slice_in_dim(v, i, 1, 1).reshape(-1, c)
+                 for v in views]
+        slab = jnp.concatenate(slabs, axis=0)                 # [Es, C]
+        drows = jnp.concatenate(list(dxs), axis=0)            # [Rt, W]
+        cg = jnp.where(tmi.T[..., None], _bulk_gather(slab, epi.T), 0)
+        dg = _bulk_gather(drows, tqi.T)                       # [Kt, Ns, W]
+        return None, _mulred_k_dispatch(cg, dg, 1)
+
+    _, df = jax.lax.scan(body, None,
+                         (jnp.arange(s), dout_xs, ep, tq, tm),
+                         unroll=_scan_unroll())
+    return df.reshape(n, c)
+
+
+def _unmap_rows_km(pos, base, sizes, samp):
+    """Global bucket-major row position → per-sample concat position
+    (row numbering is unchanged from the Q-major layout)."""
+    out = jnp.zeros_like(pos)
+    s = samp.shape[0]
+    for j in range(len(sizes)):
+        lo = s * int(base[j])
+        sel = (pos >= lo) & (pos < lo + s * int(sizes[j]))
+        out = jnp.where(sel, pos - lo - samp * int(sizes[j])
+                        + int(base[j]), out)
+    return jnp.clip(out, 0, int(base[-1]) - 1)
+
+
+bucketed_gather_multiply_reduce_km.defvjp(_bucketed_km_fwd, _bucketed_km_bwd)
+
+
 def apply_bucketed_graph_transform(coefs, f, bg,
                                    num_samples: int = 1) -> jnp.ndarray:
     """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C] (fx batched, shared

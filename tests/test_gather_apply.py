@@ -285,3 +285,60 @@ def test_km2_matches_qmajor_flat(num_samples):
     np.testing.assert_allclose(np.asarray(gc2) * valid,
                                np.asarray(gcq) * valid,
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_samples", [1, 3])
+def test_bucketed_km_matches_qmajor(num_samples):
+    """bucketed_gather_multiply_reduce_km (2D K-major coefs + K-major edge
+    ids) must match the Q-major bucketed custom VJP in value and grads."""
+    from gaot_tpu.models.magno import flatten_vx_bucketed
+    from gaot_tpu.ops.gather_apply import (
+        bucketed_gather_multiply_reduce,
+        bucketed_gather_multiply_reduce_km,
+    )
+    from gaot_tpu.ops.padding import bucketize_graphs_stacked
+
+    from tests.test_vx_bucketing import _random_stacked_graph
+
+    rng = np.random.default_rng(11)
+    s, n, q, k = 3, 40, 32, 16
+    graph = _random_stacked_graph(rng, s, q, n, k)
+    bb = bucketize_graphs_stacked(graph, num_sources=n, tile=4, min_k=4,
+                                  launch_penalty_rows=8)
+    assert bb is not None and len(bb.buckets) > 1
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    flat_q = flatten_vx_bucketed(to_j(bb), n)
+    flat_km = flatten_vx_bucketed(to_j(bb), n, km_edges=True)
+    # Same forward-graph buckets either way; only tgraph edge ids differ.
+    coefs_q = []
+    for g in flat_q.buckets:
+        qb, kb = g.indices.shape
+        cf = rng.normal(size=(qb, kb, 4)).astype(np.float32)
+        coefs_q.append(jnp.asarray(cf) * g.mask[..., None])
+    f = jnp.asarray(rng.normal(size=(s * n, 1, 4)).astype(np.float32))
+
+    def loss_q(coefs, f):
+        return jnp.sum(bucketed_gather_multiply_reduce(
+            tuple(coefs), f, tuple(g.indices for g in flat_q.buckets),
+            flat_q.tgraph.edge_pos, flat_q.tgraph.query, flat_q.tgraph.mask,
+            num_samples) ** 2)
+
+    def loss_km(coefs, f):
+        coefs2 = tuple(jnp.swapaxes(cf, 0, 1).reshape(-1, cf.shape[-1])
+                       for cf in coefs)
+        return jnp.sum(bucketed_gather_multiply_reduce_km(
+            coefs2, f, tuple(g.indices for g in flat_km.buckets),
+            flat_km.tgraph.edge_pos, flat_km.tgraph.query,
+            flat_km.tgraph.mask, num_samples) ** 2)
+
+    np.testing.assert_allclose(np.asarray(loss_km(coefs_q, f)),
+                               np.asarray(loss_q(coefs_q, f)), rtol=1e-5)
+    gq = jax.grad(loss_q, argnums=(0, 1))(coefs_q, f)
+    gk = jax.grad(loss_km, argnums=(0, 1))(coefs_q, f)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gq[1]),
+                               rtol=1e-4, atol=1e-5)
+    for cq, ck, g in zip(gq[0], gk[0], flat_q.buckets):
+        valid = g.mask[..., None]
+        np.testing.assert_allclose(np.asarray(ck) * valid,
+                                   np.asarray(cq) * valid,
+                                   rtol=1e-4, atol=1e-5)
