@@ -19,6 +19,7 @@ property; agno.py:229-242).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -26,9 +27,18 @@ from flax import linen as nn
 
 from ..ops.gather_apply import (
     apply_bucketed_graph_transform,
+    apply_bucketed_graph_transform_km,
     apply_graph_transform,
     gather_multiply_reduce_km,
+    gather_multiply_reduce_km2,
+    to_km_edge_ids_flat,
 )
+
+# 2D K-major edge-flat coefficient pipeline (ops/gather_apply.py::
+# gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km):
+# temporary A/B switch while the round-4 perturbation study pins the
+# committed numerics — flips to default-on once measured.
+_KM2 = os.environ.get("GAOT_KM2", "0") == "1"
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
@@ -235,10 +245,14 @@ class AGNO(nn.Module):
             out, rep = self._fused_flat_km(y, x, f_y, idx_t, graph.mask,
                                            tgraph, num_samples)
             return (out, rep) if return_rep else out
-        record_route("agno", "xla-kmajor")
         if return_rep:
             raise ValueError("return_rep requires the fused flat route "
                              "(probe with fused_flat_active first)")
+        if _KM2:
+            record_route("agno", "xla-kmajor2")
+            return self._call_flat_km2(y, idx_t, mask_t, x, f_y, weights,
+                                       tgraph, num_samples, rep_km)
+        record_route("agno", "xla-kmajor")
         if rep_km is None:
             rep_km = y[idx_t]                                    # [K, Q, d1]
         self_c = x[None, :, :]                                   # [1, Q, d2]
@@ -264,6 +278,35 @@ class AGNO(nn.Module):
         return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph.edge_pos,
                                          tgraph.query, tgraph.mask,
                                          num_samples)
+
+    def _call_flat_km2(self, y, idx_t, mask_t, x, f_y, weights, tgraph,
+                       num_samples, rep_km):
+        """2D K-major edge-flat variant of the XLA flat path: the kernel MLP
+        and the edge scale run on the [K·Q, ·] view, so the coefficient
+        stays in the row-major layout every consumer wants. The 3D kernel-
+        MLP dot output was laid out [K][C][Q]-physical by XLA, forcing three
+        134 MB copies per step around the airfoil decoder's Pallas operands
+        (fwd, bwd-MLP, bwd edge-flat view) — see
+        ops/gather_apply.py::gather_multiply_reduce_km2."""
+        if rep_km is None:
+            rep_km = y[idx_t]                                    # [K, Q, d1]
+        self_c = x[None, :, :]
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                self_c[..., :self.coord_dim],
+                rep_km[..., :self.coord_dim], mask_t, axis=0)    # [K, Q]
+        k, qx = idx_t.shape
+        self_b = jnp.broadcast_to(self_c, rep_km.shape[:-1] + (x.shape[-1],))
+        agg = jnp.concatenate([rep_km, self_b], axis=-1)
+        coef2 = self.channel_mlp(agg.reshape(k * qx, -1))        # [K·Q, C]
+        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
+        coef2 = coef2 * scale.reshape(k * qx, 1).astype(coef2.dtype)
+        ep_km = to_km_edge_ids_flat(tgraph.edge_pos, num_samples,
+                                    qx // num_samples, k)
+        return gather_multiply_reduce_km2(coef2, f_y, idx_t, ep_km,
+                                          tgraph.query, tgraph.mask,
+                                          num_samples)
 
     @staticmethod
     def _edge_scale_km(attention, weights_g, idx_t, mask_t):
@@ -442,6 +485,28 @@ class AGNO(nn.Module):
         scale = jnp.where(mask, scale, 0)
         return coef * scale[..., None].astype(coef.dtype)
 
+    def _folded_coef_km(self, y: jnp.ndarray, graph: PaddedGraph,
+                        x: jnp.ndarray,
+                        weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """2D K-major variant of :meth:`_folded_coef`: returns the bucket's
+        per-edge coefficient as [K_b·Q_b, C] with row id k·Q_b + q, keeping
+        the kernel-MLP dots 2D/row-major (see _call_flat_km2)."""
+        idx_t = graph.indices.T                                  # [Kb, Qb]
+        mask_t = graph.mask.T
+        rep = y[idx_t]                                           # [Kb, Qb, d]
+        self_c = x[None, :, :]
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                self_c[..., :self.coord_dim],
+                rep[..., :self.coord_dim], mask_t, axis=0)       # [Kb, Qb]
+        kb, qb = idx_t.shape
+        self_b = jnp.broadcast_to(self_c, rep.shape[:-1] + (x.shape[-1],))
+        agg = jnp.concatenate([rep, self_b], axis=-1)
+        coef2 = self.channel_mlp(agg.reshape(kb * qb, -1))       # [Kb·Qb, C]
+        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
+        return coef2 * scale.reshape(kb * qb, 1).astype(coef2.dtype)
+
     def fused_flat_active(self, y, x, f_y, weights, graph,
                           tgraph) -> bool:
         """True iff __call__ with these operands takes the fused flat
@@ -489,20 +554,27 @@ class AGNO(nn.Module):
             record_route("agno", "pallas-bucketed")
             out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
             return (out, reps) if return_rep else out
-        record_route("agno", "xla-bucketed" if combined else "xla-bucketed-plain")
+        record_route("agno", ("xla-bucketed-km2" if _KM2 else "xla-bucketed")
+                     if combined else "xla-bucketed-plain")
         if return_rep:
             raise ValueError("return_rep requires the fused bucketed route "
                              "(probe with fused_bucketed_active first)")
         parts, offset = [], 0
+        km = _KM2 and combined
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]
             xs = x[offset:offset + nb]
             offset += nb
-            if combined:
+            if km:
+                parts.append(self._folded_coef_km(y, graph, xs, weights))
+            elif combined:
                 parts.append(self._folded_coef(y, graph, xs, weights))
             else:
                 parts.append(self.__call__(y, graph, x=xs, f_y=f_y,
                                            weights=weights))
+        if km:
+            return apply_bucketed_graph_transform_km(
+                parts, f_y, bg, num_samples=num_samples)
         if combined:
             return apply_bucketed_graph_transform(parts, f_y, bg,
                                                   num_samples=num_samples)

@@ -634,6 +634,39 @@ def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
 bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
 
 
+def to_km_edge_ids_flat(edge_pos: jnp.ndarray, b: int, qs: int,
+                        k: int) -> jnp.ndarray:
+    """Q-major flat edge ids (models/magno.py::flatten_vx_tgraph,
+    e = s·qs·k + q·k + j) → K-major ids (e = j·b·qs + s·qs + q), the row
+    order of the 2D [K·Q, C] edge-flat coefficient. Elementwise int ops —
+    fuses into the consuming gather's index computation."""
+    samp = edge_pos // (qs * k)
+    rem = edge_pos % (qs * k)
+    return (rem % k) * (b * qs) + samp * qs + rem // k
+
+
+def to_km_edge_ids_bucketed(edge_pos: jnp.ndarray, b: int,
+                            shapes) -> jnp.ndarray:
+    """Bucket-concatenated Q-major edge ids (models/magno.py::
+    flatten_vx_bucketed, bucket j: B·ΣRK_{<j} + s·R_j·K_j + r·K_j + k) →
+    K-major ids (B·ΣRK_{<j} + k·B·R_j + s·R_j + r). shapes: per-bucket
+    (Qb_j, K_j) static forward-graph shapes with Qb_j = b·R_j. Also covers
+    the fx layout (ops/padding.py::transpose_bucket_edges) with b = 1."""
+    rks = [(qb // b) * kb for qb, kb in shapes]
+    base = np.concatenate([[0], np.cumsum(rks)]).astype(np.int64)
+    out = jnp.zeros_like(edge_pos)
+    for j, (qb, kb) in enumerate(shapes):
+        rj = qb // b
+        lo = b * int(base[j])
+        sel = (edge_pos >= lo) & (edge_pos < lo + b * rks[j])
+        rel = edge_pos - lo
+        samp = rel // (rj * kb)
+        rem = rel % (rj * kb)
+        out = jnp.where(sel, lo + (rem % kb) * (b * rj) + samp * rj
+                        + rem // kb, out)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def gather_multiply_reduce_km2(coef2: jnp.ndarray, f: jnp.ndarray,
                                idx_t: jnp.ndarray, edge_pos: jnp.ndarray,
@@ -911,6 +944,26 @@ def apply_bucketed_graph_transform(coefs, f, bg,
         tuple(coefs), jnp.swapaxes(f, 0, 1),
         tuple(g.indices for g in bg.buckets),
         bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def apply_bucketed_graph_transform_km(coefs2, f, bg,
+                                      num_samples: int = 1) -> jnp.ndarray:
+    """K-major counterpart of :func:`apply_bucketed_graph_transform`:
+    coefs2 per-bucket 2D [K_j·Qb_j, C]. The bucketed tgraph keeps its
+    Q-major edge numbering on disk/in caches; ids convert here (elementwise,
+    fused into the backward gather's index computation)."""
+    shapes = tuple(g.indices.shape for g in bg.buckets)
+    ep_km = to_km_edge_ids_bucketed(bg.tgraph.edge_pos, num_samples, shapes)
+    idxs = tuple(g.indices for g in bg.buckets)
+    if f.ndim == 2:
+        out = bucketed_gather_multiply_reduce_km(
+            tuple(coefs2), f[:, None, :], idxs, ep_km, bg.tgraph.query,
+            bg.tgraph.mask, num_samples)
+        return out[:, 0, :]
+    out = bucketed_gather_multiply_reduce_km(
+        tuple(coefs2), jnp.swapaxes(f, 0, 1), idxs, ep_km, bg.tgraph.query,
+        bg.tgraph.mask, num_samples)
     return jnp.swapaxes(out, 0, 1)
 
 
