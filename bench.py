@@ -556,6 +556,10 @@ def run_ablate(mode, run_default):
     vx math)."""
     if mode == "vx":
         settings = [
+            # 2D K-major edge-flat coefficient pipeline vs the 3D XLA
+            # route (models/agno.py::_km2_active — kills the [K][C][Q]-
+            # physical kernel-MLP dot layouts and their ~130 MB copies).
+            ("km2_on", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1"}),
             ("fused_agno_on", {"GAOT_FUSED_AGNO": "1"}),
             ("fused_agno_off", {"GAOT_FUSED_AGNO": "0"}),
             # Morton (default-on since round 4) re-ordered nodes change the

@@ -34,14 +34,18 @@ from ..ops.gather_apply import (
     to_km_edge_ids_flat,
 )
 
-# 2D K-major edge-flat coefficient pipeline (ops/gather_apply.py::
-# gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km):
-# temporary A/B switch while the round-4 perturbation study pins the
-# committed numerics — flips to default-on once measured.
-_KM2 = os.environ.get("GAOT_KM2", "0") == "1"
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
+
+
+def _km2_active() -> bool:
+    """2D K-major edge-flat coefficient pipeline (ops/gather_apply.py::
+    gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km).
+    Read at trace time so BENCH_ABLATE can A/B it in one process;
+    temporary switch while the round-4 perturbation study pins the
+    committed numerics — flips to default-on once measured."""
+    return os.environ.get("GAOT_KM2", "0") == "1"
 
 
 class AGNO(nn.Module):
@@ -248,7 +252,7 @@ class AGNO(nn.Module):
         if return_rep:
             raise ValueError("return_rep requires the fused flat route "
                              "(probe with fused_flat_active first)")
-        if _KM2:
+        if _km2_active():
             record_route("agno", "xla-kmajor2")
             return self._call_flat_km2(y, idx_t, mask_t, x, f_y, weights,
                                        tgraph, num_samples, rep_km)
@@ -554,13 +558,13 @@ class AGNO(nn.Module):
             record_route("agno", "pallas-bucketed")
             out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
             return (out, reps) if return_rep else out
-        record_route("agno", ("xla-bucketed-km2" if _KM2 else "xla-bucketed")
+        km = _km2_active() and combined
+        record_route("agno", ("xla-bucketed-km2" if km else "xla-bucketed")
                      if combined else "xla-bucketed-plain")
         if return_rep:
             raise ValueError("return_rep requires the fused bucketed route "
                              "(probe with fused_bucketed_active first)")
         parts, offset = [], 0
-        km = _KM2 and combined
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]
             xs = x[offset:offset + nb]

@@ -226,12 +226,12 @@ def test_agno_km2_matches_default(route, use_attn):
         return jnp.sum(run(f_in) ** 2)
 
     out0, g0 = run(f), jax.grad(loss)(f)
-    monkey = agno_mod._KM2
+    import os
+    os.environ["GAOT_KM2"] = "1"       # read at trace time (_km2_active)
     try:
-        agno_mod._KM2 = True
         out1, g1 = run(f), jax.grad(loss)(f)
     finally:
-        agno_mod._KM2 = monkey
+        os.environ.pop("GAOT_KM2", None)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
