@@ -422,6 +422,36 @@ def attach_mfu(out, sps, flops_per_step, batch_size):
     return out
 
 
+def warmup_phases(jitted, *args):
+    """BENCH_WARMUP_PHASES=1: break the first-dispatch cost into trace /
+    compile / execute+fetch via the AOT API (the compile-time budget's
+    diagnostic: VERDICT r3 could not tell Mosaic compiles from XLA compiles
+    from cache deserialization from trace overhead). Returns phase seconds;
+    the caller still warms up through the normal dispatch path afterwards
+    (the AOT objects share the persistent compile cache, so the second
+    compile is a cache hit and the diagnostic costs ~one extra trace)."""
+    import functools
+
+    import jax
+
+    if isinstance(jitted, functools.partial):
+        args = (*jitted.args, *args)
+        jitted = jitted.func
+    phases = {}
+    t0 = time.perf_counter()
+    lowered = jitted.lower(*args)
+    phases["trace_lower_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    phases["compile_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    force(jax.tree.leaves(out)[-1])
+    phases["execute_fetch_s"] = round(time.perf_counter() - t0, 2)
+    log(f"warmup phases: {phases}")
+    return phases
+
+
 def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
                  compute_dtype, use_tgraph, use_buckets):
     import jax
@@ -433,6 +463,10 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
     key = jax.random.key(1)
     step_rng = np.random.default_rng(1)
     state = {"params": params, "opt_state": opt_state}
+    phases = None
+    if os.environ.get("BENCH_WARMUP_PHASES", "0") == "1":
+        phases = warmup_phases(train_step, params, opt_state, key,
+                               make_indices(step_rng))
     t0 = time.perf_counter()
     for _ in range(warmup):
         state["params"], state["opt_state"], loss = train_step(
@@ -455,6 +489,8 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
     out = {"metric": "train_throughput_vx", "unit": "samples/sec/chip",
            "mode": "vx", "nodes": num_nodes,
            "warmup_s": round(warmup_s, 1), **stats}
+    if phases:
+        out["warmup_phases"] = phases
     return attach_mfu(out, stats["value"], flops_per_step, batch_size)
 
 
@@ -476,6 +512,10 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
         # measurement repeat is one full epoch of k steps.
         host_rng = np.random.default_rng(1)
         k = int(os.environ.get("BENCH_SCAN_STEPS", 32))
+        phases = None
+        if os.environ.get("BENCH_WARMUP_PHASES", "0") == "1":
+            phases = warmup_phases(epoch_fn, params, opt_state, key,
+                                   make_epoch_indices(host_rng, k))
         t0 = time.perf_counter()
         state["params"], state["opt_state"], losses = epoch_fn(
             state["params"], state["opt_state"], key,
@@ -500,6 +540,7 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
 
         stats = timed_repeats(once, batch_size * k, repeats)
     else:
+        phases = None
         t0 = time.perf_counter()
         for _ in range(warmup):
             state["params"], state["opt_state"], loss = train_step(
@@ -526,6 +567,7 @@ def run_fx_bench(mode, batch_size, num_nodes, warmup, iters, repeats,
         # whole-epoch lax.scan, step = one dispatch per step).
         "mode": mode,
         "warmup_s": round(warmup_s, 1),
+        **({"warmup_phases": phases} if phases else {}),
         **stats,
     }
     # MFU accounting: FLOPs from XLA's compiled cost model (fwd+bwd+adamw,
