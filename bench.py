@@ -602,6 +602,8 @@ def run_ablate(mode, run_default):
             # route (models/agno.py::_km2_active — kills the [K][C][Q]-
             # physical kernel-MLP dot layouts and their ~130 MB copies).
             ("km2_on", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1"}),
+            ("km2_split", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1",
+                           "GAOT_KM2_SPLIT": "1"}),
             ("fused_agno_on", {"GAOT_FUSED_AGNO": "1"}),
             ("fused_agno_off", {"GAOT_FUSED_AGNO": "0"}),
             # Morton (default-on since round 4) re-ordered nodes change the

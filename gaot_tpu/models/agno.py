@@ -48,6 +48,15 @@ def _km2_active() -> bool:
     return os.environ.get("GAOT_KM2", "0") == "1"
 
 
+def _km2_split_active() -> bool:
+    """Split-first-layer variant of the km2 kernel MLP: dense0([rep‖x]) =
+    rep@W_a + (x@W_b + b0), with the query projection computed once per
+    query and broadcast-added across K — kills the [K·Q, d1+d2] concat
+    materialization and halves the (lane-starved, contracting-dim≤8) first
+    edge matmul. Same math modulo fp summation order."""
+    return os.environ.get("GAOT_KM2_SPLIT", "0") == "1"
+
+
 class AGNO(nn.Module):
     channel_mlp_features: Sequence[int]
     transform_type: str = "linear"
@@ -301,9 +310,7 @@ class AGNO(nn.Module):
                 self_c[..., :self.coord_dim],
                 rep_km[..., :self.coord_dim], mask_t, axis=0)    # [K, Q]
         k, qx = idx_t.shape
-        self_b = jnp.broadcast_to(self_c, rep_km.shape[:-1] + (x.shape[-1],))
-        agg = jnp.concatenate([rep_km, self_b], axis=-1)
-        coef2 = self.channel_mlp(agg.reshape(k * qx, -1))        # [K·Q, C]
+        coef2 = self._kernel_coef2(rep_km, x, k, qx)             # [K·Q, C]
         scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
         coef2 = coef2 * scale.reshape(k * qx, 1).astype(coef2.dtype)
         ep_km = to_km_edge_ids_flat(tgraph.edge_pos, num_samples,
@@ -311,6 +318,29 @@ class AGNO(nn.Module):
         return gather_multiply_reduce_km2(coef2, f_y, idx_t, ep_km,
                                           tgraph.query, tgraph.mask,
                                           num_samples)
+
+    def _kernel_coef2(self, rep_km: jnp.ndarray, x: jnp.ndarray,
+                      k: int, qx: int) -> jnp.ndarray:
+        """Kernel-MLP output on the 2D [K·Q, ·] edge view. Default: concat
+        [rep ‖ x-broadcast] then the flax MLP. GAOT_KM2_SPLIT=1 splits the
+        first layer instead (see _km2_split_active)."""
+        if not _km2_split_active():
+            self_b = jnp.broadcast_to(x[None], rep_km.shape[:-1]
+                                      + (x.shape[-1],))
+            agg = jnp.concatenate([rep_km, self_b], axis=-1)
+            return self.channel_mlp(agg.reshape(k * qx, -1))
+        from .mlp import _gelu_auto
+
+        d1 = rep_km.shape[-1]
+        ws, bs = self._mlp_params(d1 + x.shape[-1], rep_km.dtype)
+        cdt = self.dtype or jnp.promote_types(rep_km.dtype, ws[0].dtype)
+        w0 = ws[0].astype(cdt)
+        h = rep_km.astype(cdt).reshape(k * qx, d1) @ w0[:d1]
+        xp = x.astype(cdt) @ w0[d1:] + bs[0].astype(cdt)         # [Q, h]
+        h = (h.reshape(k, qx, -1) + xp[None]).reshape(k * qx, -1)
+        for i in range(1, len(self.channel_mlp_features)):
+            h = _gelu_auto(h) @ ws[i].astype(cdt) + bs[i].astype(cdt)
+        return h
 
     @staticmethod
     def _edge_scale_km(attention, weights_g, idx_t, mask_t):
@@ -505,9 +535,7 @@ class AGNO(nn.Module):
                 self_c[..., :self.coord_dim],
                 rep[..., :self.coord_dim], mask_t, axis=0)       # [Kb, Qb]
         kb, qb = idx_t.shape
-        self_b = jnp.broadcast_to(self_c, rep.shape[:-1] + (x.shape[-1],))
-        agg = jnp.concatenate([rep, self_b], axis=-1)
-        coef2 = self.channel_mlp(agg.reshape(kb * qb, -1))       # [Kb·Qb, C]
+        coef2 = self._kernel_coef2(rep, x, kb, qb)               # [Kb·Qb, C]
         scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
         return coef2 * scale.reshape(kb * qb, 1).astype(coef2.dtype)
 

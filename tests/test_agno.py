@@ -230,9 +230,18 @@ def test_agno_km2_matches_default(route, use_attn):
     os.environ["GAOT_KM2"] = "1"       # read at trace time (_km2_active)
     try:
         out1, g1 = run(f), jax.grad(loss)(f)
+        os.environ["GAOT_KM2_SPLIT"] = "1"   # split first kernel-MLP layer
+        out2, g2 = run(f), jax.grad(loss)(f)
     finally:
         os.environ.pop("GAOT_KM2", None)
+        os.environ.pop("GAOT_KM2_SPLIT", None)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=2e-4, atol=2e-5)
+    # Split differs from concat only in fp summation order of the first
+    # dense layer (d1+d2 ≤ 8 terms) — slightly looser tolerance.
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
+                               rtol=1e-3, atol=1e-4)
