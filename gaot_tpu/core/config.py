@@ -178,6 +178,14 @@ class MAGNOConfig:
                                          # uncached Mosaic compile), 'on'
                                          # opts in for long bf16 runs.
                                          # GAOT_FUSED_AGNO=0/1 overrides.
+    coef_layout: str = "qmajor"          # per-edge coefficient layout of
+                                         # the combined custom-VJP paths:
+                                         # 'qmajor' (3D [Q, K, C]) or 'km2'
+                                         # (2D K-major edge-flat — keeps the
+                                         # kernel-MLP dots row-major, no
+                                         # [K][C][Q]-physical layout copies
+                                         # around the Pallas operands).
+                                         # GAOT_KM2=1/0 overrides.
     morton_ordering: bool = True         # Morton (Z-order) sort vx nodes at
                                          # graph build so per-edge row
                                          # gathers hit locally-dense HBM

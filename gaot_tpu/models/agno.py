@@ -39,13 +39,16 @@ from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
 
 
-def _km2_active() -> bool:
+def _km2_resolved(config_layout: str) -> bool:
     """2D K-major edge-flat coefficient pipeline (ops/gather_apply.py::
-    gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km).
-    Read at trace time so BENCH_ABLATE can A/B it in one process;
-    temporary switch while the round-4 perturbation study pins the
-    committed numerics — flips to default-on once measured."""
-    return os.environ.get("GAOT_KM2", "0") == "1"
+    gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km) vs the
+    3D Q-major paths. Config field magno.coef_layout ('km2' | 'qmajor');
+    GAOT_KM2=1/0 is the measurement override, read at trace time so
+    BENCH_ABLATE can A/B both layouts in one process."""
+    env = os.environ.get("GAOT_KM2")
+    if env is not None:
+        return env == "1"
+    return config_layout == "km2"
 
 
 def _km2_split_active() -> bool:
@@ -68,6 +71,11 @@ class AGNO(nn.Module):
     fused: str = "auto"     # fused per-edge Pallas route: 'auto'|'on'|'off'
                             # (config field magno.fused_agno; GAOT_FUSED_AGNO
                             # env var overrides for measurement/tests)
+    coef_layout: str = "qmajor"  # per-edge coefficient layout for the
+                            # combined custom-VJP paths: 'qmajor' (3D
+                            # [Q, K, C] pipeline) | 'km2' (2D K-major
+                            # edge-flat; see _km2_resolved). Config field
+                            # magno.coef_layout; GAOT_KM2 env overrides.
 
     def setup(self):
         if self.transform_type not in (
@@ -261,7 +269,7 @@ class AGNO(nn.Module):
         if return_rep:
             raise ValueError("return_rep requires the fused flat route "
                              "(probe with fused_flat_active first)")
-        if _km2_active():
+        if _km2_resolved(self.coef_layout):
             record_route("agno", "xla-kmajor2")
             return self._call_flat_km2(y, idx_t, mask_t, x, f_y, weights,
                                        tgraph, num_samples, rep_km)
@@ -586,7 +594,7 @@ class AGNO(nn.Module):
             record_route("agno", "pallas-bucketed")
             out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
             return (out, reps) if return_rep else out
-        km = _km2_active() and combined
+        km = _km2_resolved(self.coef_layout) and combined
         record_route("agno", ("xla-bucketed-km2" if km else "xla-bucketed")
                      if combined else "xla-bucketed-plain")
         if return_rep:

@@ -207,6 +207,7 @@ class _MAGNOBase(nn.Module):
             coord_dim=kdim,
             dtype=self.dtype,
             fused=cfg.fused_agno,
+            coef_layout=cfg.coef_layout,
         )
         if cfg.use_geoembed:
             self.geoembed = GeometricEmbedding(
