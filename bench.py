@@ -394,6 +394,7 @@ def timed_repeats(run_once, samples_per_rep, repeats):
     run_once must RETURN the final loss array; each rep's timed window ends
     with a forced value fetch of it (see force()) — without the fetch the
     tunneled runtime dispatches lazily and the block measures nothing."""
+    assert repeats >= 1, "timed_repeats requires at least one repeat"
     rates = []
     last_loss = None
     for i in range(repeats):
@@ -434,6 +435,8 @@ def warmup_phases(jitted, *args):
 
     import jax
 
+    import jax.numpy as jnp
+
     if isinstance(jitted, functools.partial):
         args = (*jitted.args, *args)
         jitted = jitted.func
@@ -445,7 +448,13 @@ def warmup_phases(jitted, *args):
     compiled = lowered.compile()
     phases["compile_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    out = compiled(*args)
+    # The train steps are jitted with donate_argnums (params/opt_state), and
+    # donation survives lower().compile() — executing on the caller's live
+    # arrays would invalidate the buffers the subsequent warmup loop reuses
+    # ("Array has been deleted"). Run the diagnostic on copies.
+    exec_args = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, args)
+    out = compiled(*exec_args)
     force(jax.tree.leaves(out)[-1])
     phases["execute_fetch_s"] = round(time.perf_counter() - t0, 2)
     log(f"warmup phases: {phases}")
@@ -599,7 +608,7 @@ def run_ablate(mode, run_default):
     if mode == "vx":
         settings = [
             # 2D K-major edge-flat coefficient pipeline vs the 3D XLA
-            # route (models/agno.py::_km2_active — kills the [K][C][Q]-
+            # route (models/agno.py::_km2_resolved — kills the [K][C][Q]-
             # physical kernel-MLP dot layouts and their ~130 MB copies).
             ("km2_on", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1"}),
             ("km2_split", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1",

@@ -109,7 +109,11 @@ def write_report(results, args):
         with open(args.out) as f:
             prior = json.load(f)
         if prior.get("scale") == args.scale:
-            results = {**prior.get("results", {}), **results}
+            # Merge per VARIANT, not per case (see perturb_study.write_report).
+            merged = dict(prior.get("results", {}))
+            for case, variants in results.items():
+                merged[case] = {**merged.get(case, {}), **variants}
+            results = merged
 
     report = {"side": "gaot_tpu", "platform": args.platform,
               "scale": args.scale, "results": results, "table": []}

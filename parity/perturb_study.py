@@ -188,7 +188,13 @@ def write_report(results, args):
         with open(out_path) as f:
             prior = json.load(f)
         if prior.get("scale") == args.scale:
-            results = {**prior.get("results", {}), **results}
+            # Merge per VARIANT, not per case: re-running a subset of a
+            # case's variants after a workdir wipe must not drop that case's
+            # previously reported variants (det baseline / seed-sigma rows).
+            merged = dict(prior.get("results", {}))
+            for case, variants in results.items():
+                merged[case] = {**merged.get(case, {}), **variants}
+            results = merged
 
     report = {"scale": args.scale, "results": results, "table": []}
     for case, variants in results.items():

@@ -227,7 +227,7 @@ def test_agno_km2_matches_default(route, use_attn):
 
     out0, g0 = run(f), jax.grad(loss)(f)
     import os
-    os.environ["GAOT_KM2"] = "1"       # read at trace time (_km2_active)
+    os.environ["GAOT_KM2"] = "1"       # read at trace time (_km2_resolved)
     try:
         out1, g1 = run(f), jax.grad(loss)(f)
         os.environ["GAOT_KM2_SPLIT"] = "1"   # split first kernel-MLP layer
