@@ -330,7 +330,7 @@ def compiled_flops(jitted, *args, **kwargs):
     flash attention — the env gates are read at trace time). The math is
     identical on either path, so the pure-XLA count is the honest FLOP
     number for the fused program's measured timing."""
-    overrides = {"GAOT_FUSED_AGNO": "0", "GAOT_FUSED_FFN": "0",
+    overrides = {"GAOT_FUSED_FFN": "0",
                  "GAOT_ATTN_BACKEND": "xla",
                  # Unroll the per-sample d_f scans at trace time: XLA's cost
                  # model counts a while-loop body once regardless of trip
@@ -391,10 +391,27 @@ def timed_repeats(run_once, samples_per_rep, repeats):
     a single-block harness; every published number now carries its own
     spread so real wins are distinguishable from environment noise.
 
+    Settling pass first: the first timed block after warmup was measured
+    20-70% slow EVERY run (residual runtime/dispatch work on the tunneled
+    device — fx 868/973 vs 1275, vx 223 vs 301), a systematic warmup
+    artifact that a fixed-count warmup folds into the reported spread. Run
+    un-timed blocks until two adjacent ones agree within 1% (up to
+    BENCH_SETTLE_MAX, default 4) so the timed reps measure steady state.
+
     run_once must RETURN the final loss array; each rep's timed window ends
     with a forced value fetch of it (see force()) — without the fetch the
     tunneled runtime dispatches lazily and the block measures nothing."""
     assert repeats >= 1, "timed_repeats requires at least one repeat"
+    settle_max = int(os.environ.get("BENCH_SETTLE_MAX", 4))
+    prev = None
+    for i in range(settle_max):
+        t0 = time.perf_counter()
+        force(run_once())
+        rate = samples_per_rep / (time.perf_counter() - t0)
+        log(f"  settle {i + 1}/{settle_max}: {rate:.1f} samples/s")
+        if prev is not None and abs(rate / prev - 1) < 0.01:
+            break
+        prev = rate
     rates = []
     last_loss = None
     for i in range(repeats):
@@ -607,29 +624,20 @@ def run_ablate(mode, run_default):
     vx math)."""
     if mode == "vx":
         settings = [
-            # 2D K-major edge-flat coefficient pipeline vs the 3D XLA
-            # route (models/agno.py::_km2_resolved — kills the [K][C][Q]-
-            # physical kernel-MLP dot layouts and their ~130 MB copies).
-            ("km2_on", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1"}),
-            ("km2_split", {"GAOT_FUSED_AGNO": "0", "GAOT_KM2": "1",
-                           "GAOT_KM2_SPLIT": "1"}),
-            ("fused_agno_on", {"GAOT_FUSED_AGNO": "1"}),
-            ("fused_agno_off", {"GAOT_FUSED_AGNO": "0"}),
-            # Morton (default-on since round 4) re-ordered nodes change the
-            # degree-bucket fill and gather locality; attribute it on the
-            # XLA route (vs fused_agno_off) — re-bucketed shapes would
-            # otherwise force a fresh Mosaic compile of every fused kernel.
-            ("morton_off", {"GAOT_FUSED_AGNO": "0", "BENCH_MORTON": "0"}),
+            # Default XLA K-major route, and Morton node ordering on/off
+            # (default-on since round 4): re-ordered nodes change the
+            # degree-bucket fill and gather locality.
+            ("default", {}),
+            ("morton_off", {"BENCH_MORTON": "0"}),
         ]
     else:
         settings = [
-            ("all_fused", {"GAOT_FUSED_FFN": "1", "GAOT_ATTN_BACKEND": "pallas",
-                           "GAOT_FUSED_AGNO": "1"}),
+            ("all_fused", {"GAOT_FUSED_FFN": "1",
+                           "GAOT_ATTN_BACKEND": "pallas"}),
             ("fused_ffn_off", {"GAOT_FUSED_FFN": "0",
-                               "GAOT_ATTN_BACKEND": "pallas",
-                               "GAOT_FUSED_AGNO": "1"}),
-            ("flash_off", {"GAOT_FUSED_FFN": "1", "GAOT_ATTN_BACKEND": "xla",
-                           "GAOT_FUSED_AGNO": "1"}),
+                               "GAOT_ATTN_BACKEND": "pallas"}),
+            ("flash_off", {"GAOT_FUSED_FFN": "1",
+                           "GAOT_ATTN_BACKEND": "xla"}),
         ]
     results = {}
     for name, env in settings:

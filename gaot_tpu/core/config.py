@@ -169,23 +169,6 @@ class MAGNOConfig:
                                          # layout this is ~2.9x faster than
                                          # XLA's scatter-add backward on the
                                          # isolated primitive (v5e).
-    fused_agno: str = "auto"             # route the per-edge AGNO pipeline
-                                         # through the fused Pallas kernel
-                                         # (ops/pallas/fused_agno.py):
-                                         # 'auto' = XLA route (measured: the
-                                         # kernel buys +3.3% at 8k nodes, 0%
-                                         # at 16k, and adds 250-1500 s of
-                                         # uncached Mosaic compile), 'on'
-                                         # opts in for long bf16 runs.
-                                         # GAOT_FUSED_AGNO=0/1 overrides.
-    coef_layout: str = "qmajor"          # per-edge coefficient layout of
-                                         # the combined custom-VJP paths:
-                                         # 'qmajor' (3D [Q, K, C]) or 'km2'
-                                         # (2D K-major edge-flat — keeps the
-                                         # kernel-MLP dots row-major, no
-                                         # [K][C][Q]-physical layout copies
-                                         # around the Pallas operands).
-                                         # GAOT_KM2=1/0 overrides.
     morton_ordering: bool = True         # Morton (Z-order) sort vx nodes at
                                          # graph build so per-edge row
                                          # gathers hit locally-dense HBM
@@ -219,9 +202,6 @@ class MAGNOConfig:
             "linear", "nonlinear", "linear_kernelonly", "nonlinear_kernelonly"
         ):
             raise ConfigError(f"Invalid transform_type: {self.transform_type}")
-        if self.fused_agno not in ("auto", "on", "off"):
-            raise ConfigError(
-                f"fused_agno must be auto/on/off, got {self.fused_agno!r}")
 
 
 @dataclass

@@ -27,37 +27,13 @@ from flax import linen as nn
 
 from ..ops.gather_apply import (
     apply_bucketed_graph_transform,
-    apply_bucketed_graph_transform_km,
     apply_graph_transform,
     gather_multiply_reduce_km,
-    gather_multiply_reduce_km2,
-    to_km_edge_ids_flat,
 )
 
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
 from .mlp import LinearChannelMLP
-
-
-def _km2_resolved(config_layout: str) -> bool:
-    """2D K-major edge-flat coefficient pipeline (ops/gather_apply.py::
-    gather_multiply_reduce_km2 / bucketed_gather_multiply_reduce_km) vs the
-    3D Q-major paths. Config field magno.coef_layout ('km2' | 'qmajor');
-    GAOT_KM2=1/0 is the measurement override, read at trace time so
-    BENCH_ABLATE can A/B both layouts in one process."""
-    env = os.environ.get("GAOT_KM2")
-    if env is not None:
-        return env == "1"
-    return config_layout == "km2"
-
-
-def _km2_split_active() -> bool:
-    """Split-first-layer variant of the km2 kernel MLP: dense0([rep‖x]) =
-    rep@W_a + (x@W_b + b0), with the query projection computed once per
-    query and broadcast-added across K — kills the [K·Q, d1+d2] concat
-    materialization and halves the (lane-starved, contracting-dim≤8) first
-    edge matmul. Same math modulo fp summation order."""
-    return os.environ.get("GAOT_KM2_SPLIT", "0") == "1"
 
 
 class AGNO(nn.Module):
@@ -68,15 +44,6 @@ class AGNO(nn.Module):
     coord_dim: Optional[int] = None
     attention_dim: int = 64
     dtype: Optional[jnp.dtype] = None
-    fused: str = "auto"     # fused per-edge Pallas route: 'auto'|'on'|'off'
-                            # (config field magno.fused_agno; GAOT_FUSED_AGNO
-                            # env var overrides for measurement/tests)
-    coef_layout: str = "qmajor"  # per-edge coefficient layout for the
-                            # combined custom-VJP paths: 'qmajor' (3D
-                            # [Q, K, C] pipeline) | 'km2' (2D K-major
-                            # edge-flat; see _km2_resolved). Config field
-                            # magno.coef_layout; GAOT_KM2 env overrides.
-
     def setup(self):
         if self.transform_type not in (
             "linear", "nonlinear", "linear_kernelonly", "nonlinear_kernelonly"):
@@ -118,8 +85,7 @@ class AGNO(nn.Module):
                  weights: Optional[jnp.ndarray] = None,
                  tgraph: Optional[TransposeGraph] = None,
                  num_samples: int = 1,
-                 rep_coords: Optional[jnp.ndarray] = None,
-                 return_rep: bool = False) -> jnp.ndarray:
+                 rep_coords: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -130,21 +96,14 @@ class AGNO(nn.Module):
             weights: [n] quadrature weights, or None.
             tgraph: optional transpose graph — switches the k·f reduction to
                 the scatter-free custom-VJP path (ops/gather_apply.py).
-            return_rep: fused routes only (probe with fused_flat_active /
-                fused_bucketed_active) — also return the coordinate slice of
-                the kernel's gathered rows ([K, Q, d], or a per-bucket tuple
-                of [Kb, Qb, d]) so geoembed can reuse it instead of issuing
-                its own narrow [E, d] gathers.
 
         Returns:
-            [batch, m, c_out] (batched f_y) or [m, c_out];
-            (out, rep) when return_rep.
+            [batch, m, c_out] (batched f_y) or [m, c_out].
         """
         if x is None:
             x = y
         if isinstance(graph, BucketedGraph):
-            return self._call_bucketed(y, graph, x, f_y, weights, num_samples,
-                                       return_rep=return_rep)
+            return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
 
         # K-major fast path for vx-flattened linear transforms: the coef
         # pipeline (kernel MLP, attention, masks) runs [K, Q, ·] end to end,
@@ -153,11 +112,7 @@ class AGNO(nn.Module):
         if (tgraph is not None and f_y is not None and f_y.ndim == 2
                 and self.transform_type == "linear"):
             return self._call_flat_km(y, graph, x, f_y, weights, tgraph,
-                                      num_samples, rep_coords,
-                                      return_rep=return_rep)
-        if return_rep:
-            raise ValueError("return_rep requires a fused route (probe with "
-                             "fused_flat_active / fused_bucketed_active)")
+                                      num_samples, rep_coords)
         indices, mask = graph.indices, graph.mask
 
         if rep_coords is None:
@@ -249,30 +204,14 @@ class AGNO(nn.Module):
                       x: jnp.ndarray, f_y: jnp.ndarray,
                       weights: Optional[jnp.ndarray],
                       tgraph: TransposeGraph, num_samples: int,
-                      rep_km: Optional[jnp.ndarray] = None,
-                      return_rep: bool = False) -> jnp.ndarray:
+                      rep_km: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """K-major flat transform: every per-edge tensor is [K, Q, ·], the
         softmax/mask reduce over axis 0 with Q in the vector lanes, and the
-        coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly.
-
-        return_rep (fused route only): also return the [K, Q, d] coordinate
-        slice of the kernel's gathered rows for geoembed sharing."""
+        coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly."""
         from ..utils.routing import record_route
 
         idx_t = graph.indices.T                                  # [K, Q]
         mask_t = graph.mask.T
-        if self._use_fused_km(y, x, f_y, weights, idx_t):
-            record_route("agno", "pallas-flat")
-            out, rep = self._fused_flat_km(y, x, f_y, idx_t, graph.mask,
-                                           tgraph, num_samples)
-            return (out, rep) if return_rep else out
-        if return_rep:
-            raise ValueError("return_rep requires the fused flat route "
-                             "(probe with fused_flat_active first)")
-        if _km2_resolved(self.coef_layout):
-            record_route("agno", "xla-kmajor2")
-            return self._call_flat_km2(y, idx_t, mask_t, x, f_y, weights,
-                                       tgraph, num_samples, rep_km)
         record_route("agno", "xla-kmajor")
         if rep_km is None:
             rep_km = y[idx_t]                                    # [K, Q, d1]
@@ -300,56 +239,6 @@ class AGNO(nn.Module):
                                          tgraph.query, tgraph.mask,
                                          num_samples)
 
-    def _call_flat_km2(self, y, idx_t, mask_t, x, f_y, weights, tgraph,
-                       num_samples, rep_km):
-        """2D K-major edge-flat variant of the XLA flat path: the kernel MLP
-        and the edge scale run on the [K·Q, ·] view, so the coefficient
-        stays in the row-major layout every consumer wants. The 3D kernel-
-        MLP dot output was laid out [K][C][Q]-physical by XLA, forcing three
-        134 MB copies per step around the airfoil decoder's Pallas operands
-        (fwd, bwd-MLP, bwd edge-flat view) — see
-        ops/gather_apply.py::gather_multiply_reduce_km2."""
-        if rep_km is None:
-            rep_km = y[idx_t]                                    # [K, Q, d1]
-        self_c = x[None, :, :]
-        attention = None
-        if self.use_attn:
-            attention = self._attention_weights(
-                self_c[..., :self.coord_dim],
-                rep_km[..., :self.coord_dim], mask_t, axis=0)    # [K, Q]
-        k, qx = idx_t.shape
-        coef2 = self._kernel_coef2(rep_km, x, k, qx)             # [K·Q, C]
-        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
-        coef2 = coef2 * scale.reshape(k * qx, 1).astype(coef2.dtype)
-        ep_km = to_km_edge_ids_flat(tgraph.edge_pos, num_samples,
-                                    qx // num_samples, k)
-        return gather_multiply_reduce_km2(coef2, f_y, idx_t, ep_km,
-                                          tgraph.query, tgraph.mask,
-                                          num_samples)
-
-    def _kernel_coef2(self, rep_km: jnp.ndarray, x: jnp.ndarray,
-                      k: int, qx: int) -> jnp.ndarray:
-        """Kernel-MLP output on the 2D [K·Q, ·] edge view. Default: concat
-        [rep ‖ x-broadcast] then the flax MLP. GAOT_KM2_SPLIT=1 splits the
-        first layer instead (see _km2_split_active)."""
-        if not _km2_split_active():
-            self_b = jnp.broadcast_to(x[None], rep_km.shape[:-1]
-                                      + (x.shape[-1],))
-            agg = jnp.concatenate([rep_km, self_b], axis=-1)
-            return self.channel_mlp(agg.reshape(k * qx, -1))
-        from .mlp import _gelu_auto
-
-        d1 = rep_km.shape[-1]
-        ws, bs = self._mlp_params(d1 + x.shape[-1], rep_km.dtype)
-        cdt = self.dtype or jnp.promote_types(rep_km.dtype, ws[0].dtype)
-        w0 = ws[0].astype(cdt)
-        h = rep_km.astype(cdt).reshape(k * qx, d1) @ w0[:d1]
-        xp = x.astype(cdt) @ w0[d1:] + bs[0].astype(cdt)         # [Q, h]
-        h = (h.reshape(k, qx, -1) + xp[None]).reshape(k * qx, -1)
-        for i in range(1, len(self.channel_mlp_features)):
-            h = _gelu_auto(h) @ ws[i].astype(cdt) + bs[i].astype(cdt)
-        return h
-
     @staticmethod
     def _edge_scale_km(attention, weights_g, idx_t, mask_t):
         """[K, Q] per-edge scale: attention and/or quadrature weights (mean
@@ -364,133 +253,6 @@ class AGNO(nn.Module):
             counts = jnp.maximum(jnp.sum(mask_t, axis=0, keepdims=True), 1)
             scale = 1.0 / counts.astype(jnp.float32)
         return jnp.where(mask_t, scale, 0)
-
-    def _fused_config_ok(self, y, x, f_y, weights) -> bool:
-        """Config-level gate for the fused per-edge Pallas pipeline
-        (ops/pallas/fused_agno.py): bf16 compute on TPU, coordinate-only
-        (linear) kernel on raw 2D/3D coords, cosine or no attention, no
-        quadrature weights. fp32 (the convergence-parity configuration)
-        always keeps the XLA path. Mode comes from the `fused` field
-        (config magno.fused_agno); GAOT_FUSED_AGNO=0/1 overrides."""
-        from ..utils.routing import resolve_mode
-
-        mode = resolve_mode("GAOT_FUSED_AGNO", self.fused)
-        if mode != "on":
-            # 'auto' resolves to the XLA route: round-4 adjacent A/B medians
-            # (BENCH_ABLATE=1, v5e) put the fused kernel at +3.3% end-to-end
-            # at 8192 nodes and +0% at its 16,384-node design point, while
-            # its Mosaic compiles add 250-1500 s of warmup per process that
-            # the persistent compile cache does not cover. Opt in with
-            # fused_agno='on' / GAOT_FUSED_AGNO=1 for long runs at ≤8k nodes
-            # where +3% outweighs the one-time compile.
-            return False
-        d = y.shape[-1]
-        c_f = f_y.shape[-1]
-        if (weights is not None or d not in (2, 3) or x.shape[-1] != d
-                or self.channel_mlp_features[-1] != c_f
-                or (self.use_attn and self.attention_type != "cosine")):
-            return False
-        return True
-
-    @staticmethod
-    def _cf_padded(c_f: int) -> int:
-        """Feature width the fused kernels run at: next multiple of 8 (lane
-        alignment). The encoder's c_f=1 raw input pads to 8 — free, because
-        every per-edge block is lane-padded to 128 anyway; the zero channels
-        stay zero through the elementwise product and reduce and are sliced
-        off after the op."""
-        return -(-c_f // 8) * 8
-
-    def _use_fused_km(self, y, x, f_y, weights, idx_t) -> bool:
-        if not self._fused_config_ok(y, x, f_y, weights):
-            return False
-        from ..ops.pallas.fused_agno import fused_supported
-
-        d, c_f = y.shape[-1], self._cf_padded(f_y.shape[-1])
-        k, q = idx_t.shape
-        return fused_supported(k, q, c_f + d, c_f, d,
-                               len(self.channel_mlp_features),
-                               f_y.dtype) > 0
-
-    def _mlp_params(self, in_dim: int, dtype):
-        """Materialize the kernel-MLP params and return them as raw arrays
-        (the fused Pallas op consumes them directly; the dummy call only
-        creates/looks up the flax variables and is dead code afterwards)."""
-        self.channel_mlp(jnp.zeros((1, in_dim), dtype))
-        p = self.channel_mlp.variables["params"]
-        n = len(self.channel_mlp_features)
-        ws = tuple(p[f"dense_{i}"]["kernel"] for i in range(n))
-        bs = tuple(p[f"dense_{i}"]["bias"] for i in range(n))
-        return ws, bs
-
-    def _pad_cf(self, f_y, ws, bs):
-        """Zero-pad the feature channels and the kernel-MLP output layer to
-        the fused kernels' lane-aligned width. Differentiable (jnp.pad's VJP
-        slices), and the padded lanes carry exact zeros: final-layer weight
-        columns are zero → kern lanes zero → product with the zero feature
-        lanes is zero → d(anything)/d(pad) is zero."""
-        c_f = f_y.shape[-1]
-        c_p = self._cf_padded(c_f)
-        if c_p == c_f:
-            return f_y, ws, bs, c_f
-        pad = c_p - c_f
-        f_y = jnp.pad(f_y, ((0, 0), (0, pad)))
-        ws = ws[:-1] + (jnp.pad(ws[-1], ((0, 0), (0, pad))),)
-        bs = bs[:-1] + (jnp.pad(bs[-1], ((0, pad),)),)
-        return f_y, ws, bs, c_p
-
-    def _fused_flat_km(self, y, x, f_y, idx_t, mask_q, tgraph, num_samples):
-        """Returns (out [Q, c_f], rep [K, Q, d]) — rep is the coordinate
-        slice of the kernel's gathered rows, for geoembed sharing."""
-        from ..ops.gather_apply import fused_gather_agno_km
-
-        d = y.shape[-1]
-        c_f = f_y.shape[-1]
-        ws, bs = self._mlp_params(2 * d, f_y.dtype)
-        f_p, ws, bs, c_p = self._pad_cf(f_y, ws, bs)
-        f_aug = jnp.concatenate([f_p, y.astype(f_y.dtype)], axis=-1)
-        out, rep = fused_gather_agno_km(
-            c_p, d, self.use_attn, num_samples, ws, bs, f_aug, idx_t,
-            x.astype(f_y.dtype), mask_q, tgraph.edge_pos, tgraph.query,
-            tgraph.mask)
-        return (out[..., :c_f] if c_p != c_f else out), rep
-
-    def _use_fused_bucketed(self, y, x, f_y, weights, bg) -> bool:
-        if not self._fused_config_ok(y, x, f_y, weights):
-            return False
-        from ..ops.pallas.fused_agno import fused_supported
-
-        d, c_f = y.shape[-1], self._cf_padded(f_y.shape[-1])
-        n_layers = len(self.channel_mlp_features)
-        return all(
-            fused_supported(g.indices.shape[-1], g.indices.shape[-2],
-                            c_f + d, c_f, d, n_layers, f_y.dtype) > 0
-            for g in bg.buckets)
-
-    def _fused_bucketed(self, y, x, f_y, bg: BucketedGraph, num_samples):
-        """Per-bucket fused Pallas pipeline over the degree buckets; the
-        combined transpose-graph d_f pass is shared with the XLA bucketed
-        path (ops/gather_apply.py::fused_bucketed_agno)."""
-        from ..ops.gather_apply import fused_bucketed_agno
-
-        d = y.shape[-1]
-        c_f = f_y.shape[-1]
-        ws, bs = self._mlp_params(2 * d, f_y.dtype)
-        f_p, ws, bs, c_p = self._pad_cf(f_y, ws, bs)
-        f_aug = jnp.concatenate([f_p, y.astype(f_y.dtype)], axis=-1)
-        dst_qs, masks, indices, offset = [], [], [], 0
-        x_c = x.astype(f_y.dtype)
-        for g in bg.buckets:
-            nb = g.indices.shape[-2]
-            dst_qs.append(x_c[offset:offset + nb])
-            masks.append(g.mask)
-            indices.append(g.indices)
-            offset += nb
-        out, reps = fused_bucketed_agno(
-            c_p, d, self.use_attn, num_samples, ws, bs, f_aug,
-            tuple(indices), tuple(dst_qs), tuple(masks),
-            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask)
-        return (out[..., :c_f] if c_p != c_f else out), reps
 
     def _folded_coef(self, y: jnp.ndarray, graph: PaddedGraph, x: jnp.ndarray,
                      weights: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -527,50 +289,10 @@ class AGNO(nn.Module):
         scale = jnp.where(mask, scale, 0)
         return coef * scale[..., None].astype(coef.dtype)
 
-    def _folded_coef_km(self, y: jnp.ndarray, graph: PaddedGraph,
-                        x: jnp.ndarray,
-                        weights: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """2D K-major variant of :meth:`_folded_coef`: returns the bucket's
-        per-edge coefficient as [K_b·Q_b, C] with row id k·Q_b + q, keeping
-        the kernel-MLP dots 2D/row-major (see _call_flat_km2)."""
-        idx_t = graph.indices.T                                  # [Kb, Qb]
-        mask_t = graph.mask.T
-        rep = y[idx_t]                                           # [Kb, Qb, d]
-        self_c = x[None, :, :]
-        attention = None
-        if self.use_attn:
-            attention = self._attention_weights(
-                self_c[..., :self.coord_dim],
-                rep[..., :self.coord_dim], mask_t, axis=0)       # [Kb, Qb]
-        kb, qb = idx_t.shape
-        coef2 = self._kernel_coef2(rep, x, kb, qb)               # [Kb·Qb, C]
-        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
-        return coef2 * scale.reshape(kb * qb, 1).astype(coef2.dtype)
-
-    def fused_flat_active(self, y, x, f_y, weights, graph,
-                          tgraph) -> bool:
-        """True iff __call__ with these operands takes the fused flat
-        K-major route (so return_rep is available and the caller should NOT
-        pre-gather rep coords)."""
-        if not (tgraph is not None and f_y is not None and f_y.ndim == 2
-                and self.transform_type == "linear"):
-            return False
-        return self._use_fused_km(y, x, f_y, weights, graph.indices.T)
-
-    def fused_bucketed_active(self, y, x, f_y, weights, bg) -> bool:
-        """True iff __call__ on this BucketedGraph takes the fused per-edge
-        route (mirrors _call_bucketed's dispatch)."""
-        nonlinear = self.transform_type in ("nonlinear",
-                                            "nonlinear_kernelonly")
-        combined = (f_y is not None and not nonlinear
-                    and bg.tgraph is not None and f_y.ndim == 2)
-        return combined and self._use_fused_bucketed(y, x, f_y, weights, bg)
-
     def _call_bucketed(self, y: jnp.ndarray, bg: BucketedGraph,
                        x: jnp.ndarray, f_y: Optional[jnp.ndarray],
                        weights: Optional[jnp.ndarray],
-                       num_samples: int = 1,
-                       return_rep: bool = False) -> jnp.ndarray:
+                       num_samples: int = 1) -> jnp.ndarray:
         """Integral transform over a degree-bucketed graph (ops/padding.py).
 
         x must be the bucket-concatenated query coords; the result is in the
@@ -589,32 +311,18 @@ class AGNO(nn.Module):
                     and f_y.ndim in (2, 3))
         from ..utils.routing import record_route
 
-        if (combined and f_y.ndim == 2
-                and self._use_fused_bucketed(y, x, f_y, weights, bg)):
-            record_route("agno", "pallas-bucketed")
-            out, reps = self._fused_bucketed(y, x, f_y, bg, num_samples)
-            return (out, reps) if return_rep else out
-        km = _km2_resolved(self.coef_layout) and combined
-        record_route("agno", ("xla-bucketed-km2" if km else "xla-bucketed")
-                     if combined else "xla-bucketed-plain")
-        if return_rep:
-            raise ValueError("return_rep requires the fused bucketed route "
-                             "(probe with fused_bucketed_active first)")
+        record_route("agno",
+                     "xla-bucketed" if combined else "xla-bucketed-plain")
         parts, offset = [], 0
         for graph in bg.buckets:
             nb = graph.indices.shape[-2]
             xs = x[offset:offset + nb]
             offset += nb
-            if km:
-                parts.append(self._folded_coef_km(y, graph, xs, weights))
-            elif combined:
+            if combined:
                 parts.append(self._folded_coef(y, graph, xs, weights))
             else:
                 parts.append(self.__call__(y, graph, x=xs, f_y=f_y,
                                            weights=weights))
-        if km:
-            return apply_bucketed_graph_transform_km(
-                parts, f_y, bg, num_samples=num_samples)
         if combined:
             return apply_bucketed_graph_transform(parts, f_y, bg,
                                                   num_samples=num_samples)

@@ -73,34 +73,8 @@ def flatten_vx_tgraph(tgraph: TransposeGraph, num_queries: int,
     )
 
 
-def flatten_vx_tgraph_km(tgraph: TransposeGraph, num_queries: int,
-                         k: int) -> TransposeGraph:
-    """K-major variant of :func:`flatten_vx_tgraph` for the 2D-coef flat
-    path (ops/gather_apply.py::gather_multiply_reduce_km2).
-
-    Per-sample edge (q, j) maps to flat K-major position
-    j·(B·num_queries) + b·num_queries + q — matching the row order of the
-    [K·Q, C] edge-flat coefficient (k major, folded query minor), so the
-    backward d_f gathers read the coefficient exactly as the kernel MLP
-    produced it (row-major 2D, no [Q, K, C] re-materialization). Query ids
-    are sample-major b·num_queries + q, as in the Q-major flattening.
-    """
-    b, s, kt = tgraph.edge_pos.shape
-    samp = jnp.arange(b, dtype=tgraph.edge_pos.dtype)[:, None, None]
-    q_id = tgraph.edge_pos // k                       # per-sample query
-    j_id = tgraph.edge_pos % k                        # neighbor slot
-    e_km = j_id * (b * num_queries) + samp * num_queries + q_id
-    q_off = samp.astype(tgraph.query.dtype) * num_queries
-    return TransposeGraph(
-        edge_pos=e_km.reshape(b * s, kt),
-        query=(tgraph.query + q_off).reshape(b * s, kt),
-        mask=tgraph.mask.reshape(b * s, kt),
-    )
-
-
 def flatten_vx_bucketed(bb: BatchedBucketedGraph,
-                        num_sources: int,
-                        km_edges: bool = False) -> BucketedGraph:
+                        num_sources: int) -> BucketedGraph:
     """Flatten a batch of shared-layout per-sample bucketed graphs
     (ops/padding.py::bucketize_graphs_stacked, batch-sliced to leading B)
     into ONE flat BucketedGraph over the concatenated source set — the
@@ -112,11 +86,6 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
         e = r·K_j + k (matching the coef concat in
         ops/gather_apply.py::_bucketed_bwd);
       original query space: sample-major flat [B·Q].
-
-    km_edges=True numbers edges K-MAJOR within each bucket instead —
-    position B·Σ(R·K)_{<j} + k·B·R_j + s·R_j + r — matching the 2D
-    [K_j·Qb_j, C] coefficient rows of the K-major bucketed path
-    (ops/gather_apply.py::bucketed_gather_multiply_reduce_km).
     """
     b, q = bb.inv_perm.shape
     rs = list(bb.bucket_rows)
@@ -137,21 +106,6 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
                             b * lo + s * int(stride[j]) + (pos - lo), out)
         return out
 
-    def remap_edges_km(pos):
-        """Per-sample concat edge position → flat K-major bucket position:
-        local r·K_j + k → k·(B·R_j) + s·R_j + r."""
-        out = jnp.zeros_like(pos)
-        s = jnp.arange(b, dtype=pos.dtype).reshape((b,) + (1,) * (pos.ndim - 1))
-        for j in range(nb):
-            lo = int(e_base[j])
-            sel = (pos >= lo) & (pos < lo + int(sizes_e[j]))
-            local = pos - lo
-            r = local // ks[j]
-            k_id = local % ks[j]
-            out = jnp.where(sel,
-                            b * lo + k_id * (b * rs[j]) + s * rs[j] + r, out)
-        return out
-
     buckets = []
     for g, k in zip(bb.buckets, ks):
         off = (jnp.arange(b, dtype=g.indices.dtype) * num_sources)[:, None, None]
@@ -161,8 +115,7 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
     tg = None
     if bb.tgraph is not None:
         kt = bb.tgraph.edge_pos.shape[-1]
-        ep = (remap_edges_km(bb.tgraph.edge_pos) if km_edges
-              else remap(bb.tgraph.edge_pos, e_base, sizes_e, sizes_e))
+        ep = remap(bb.tgraph.edge_pos, e_base, sizes_e, sizes_e)
         tg = TransposeGraph(
             edge_pos=ep.reshape(-1, kt),
             query=remap(bb.tgraph.query, r_base, rs, rs).reshape(-1, kt),
@@ -206,8 +159,6 @@ class _MAGNOBase(nn.Module):
             attention_type=cfg.attention_type,
             coord_dim=kdim,
             dtype=self.dtype,
-            fused=cfg.fused_agno,
-            coef_layout=cfg.coef_layout,
         )
         if cfg.use_geoembed:
             self.geoembed = GeometricEmbedding(
@@ -270,34 +221,14 @@ class _MAGNOBase(nn.Module):
         kmajor = (f_src is not None and f_src.ndim == 2 and tgraph is not None
                   and cfg.transform_type == "linear"
                   and not cfg.node_embedding)
-        # When the fused Pallas route will run, its kernel gathers
-        # f_aug = [f | src_coords] rows anyway — take the coordinate slice
-        # from it (return_rep) instead of issuing a separate [E, d] gather
-        # (narrow rows are 64×-lane-padded on TPU; these gathers measured
-        # as expensive as the fused kernel itself on the airfoil workload).
-        fused = self.agno.fused_flat_active(src_proc, dst_proc, f_src, None,
-                                            graph, tgraph)
         rep = None
-        if cfg.use_geoembed and not cfg.node_embedding and not fused:
+        if cfg.use_geoembed and not cfg.node_embedding:
             rep = (src_coords[graph.indices.T] if kmajor
                    else src_coords[graph.indices])
 
-        if fused:
-            out, rep = self.agno(y=src_proc, graph=graph, x=dst_proc,
-                                 f_y=f_src, tgraph=tgraph,
-                                 num_samples=num_samples, return_rep=True)
-            # The fused kernel's gathered rows are in the compute dtype
-            # (bf16 under mixed precision). Geoembed's diff/distance/
-            # covariance statistics are sensitive to coordinate quantization
-            # on fine meshes (bf16 ulp ~2^-8 relative is comparable to
-            # neighbor spacing), so only share rows that kept full
-            # coordinate precision; otherwise geoembed re-gathers in fp32.
-            if rep.dtype != src_coords.dtype:
-                rep = None
-        else:
-            out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
-                            tgraph=tgraph, num_samples=num_samples,
-                            rep_coords=rep)
+        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
+                        tgraph=tgraph, num_samples=num_samples,
+                        rep_coords=rep)
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples,
@@ -334,29 +265,15 @@ class _MAGNOBase(nn.Module):
         dropped = bg._replace(buckets=tuple(
             self._drop_edges(g, training) for g in bg.buckets))
 
-        # Share the fused kernel's gathered coordinate rows with geoembed
-        # (per-bucket [Kb, Qb, d] slices) — see _agno_scale for rationale.
-        fused = self.agno.fused_bucketed_active(src_proc, dst_proc, f_src,
-                                                None, dropped)
-        reps = None
-        if fused:
-            cat, reps = self.agno(y=src_proc, graph=dropped, x=dst_proc,
-                                  f_y=f_src, num_samples=num_samples,
-                                  return_rep=True)
-            # Same fp32-coordinate rule as _agno_scale: never feed geoembed
-            # bf16-quantized coordinate rows.
-            if reps and reps[0].dtype != src_coords.dtype:
-                reps = None
-        else:
-            cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
-                            num_samples=num_samples)
+        cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
+                        num_samples=num_samples)
 
         if cfg.use_geoembed:
             # One geoembed call over all buckets: the statistical features
             # standardize over the full (valid) query set, exactly like the
             # dense layout.
             gemb = self.geoembed(src_coords, dst_cat, dropped, num_samples,
-                                 nbr=reps, kmajor=reps is not None)
+                                 nbr=None, kmajor=False)
             if cat.ndim == 3:
                 gemb = jnp.broadcast_to(gemb[None], cat.shape[:1] + gemb.shape)
             cat = jnp.concatenate([cat, gemb], axis=-1)

@@ -153,155 +153,6 @@ def _km_bwd(num_samples, res, dout):
 gather_multiply_reduce_km.defvjp(_km_fwd, _km_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def fused_gather_agno_km(c_f: int, d: int, use_attn: bool, num_samples: int,
-                         ws, bs, f_aug, idx_t, dst_q, mask_q,
-                         edge_pos, tquery, tmask):
-    """Fully-fused flat AGNO transform: ONE bulk row gather of
-    f_aug = [f | src_coords] followed by the fused Pallas per-edge pipeline
-    (ops/pallas/fused_agno.py) — kernel MLP, cosine attention / mean fold,
-    masked K-reduce — with the per-edge activations resident in VMEM.
-
-    ws/bs: kernel-MLP params; f_aug: [N, CG] with the c_f feature columns
-    followed by d coordinate columns; idx_t: [K, Q]; dst_q: [Q, d] query
-    coords; mask_q: [Q, K]; edge_pos/tquery/tmask: the transpose graph
-    (d_f backward). Returns (out [Q, c_f], rep [K, Q, d]) — rep is the
-    coordinate slice of the gathered rows, shared with the geometric
-    embedding so it never issues its own [E, d] gather (narrow rows are
-    64×-lane-padded on TPU; the profiler showed those gathers costing more
-    than the fused kernel itself). rep is treated as data: its cotangent is
-    discarded, exactly like the pre-gathered `src_coords[idx]` it replaces.
-
-    Backward: one fused Pallas pass recomputes the pipeline, emitting dW/db
-    and the edge-major coefficient; d_f then runs through the existing
-    transpose-graph machinery (_flat_df, with the per-sample-slab scan).
-    """
-    return _fused_km_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
-                         idx_t, dst_q, mask_q, edge_pos, tquery, tmask)[0]
-
-
-def _fused_km_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug, idx_t,
-                  dst_q, mask_q, edge_pos, tquery, tmask):
-    from .pallas.fused_agno import fused_agno_fwd
-
-    gath = _bulk_gather(f_aug, idx_t)                     # [K, Q, CG]
-    out = fused_agno_fwd(ws, bs, gath, dst_q, mask_q, c_f=c_f, d=d,
-                         use_attn=use_attn)
-    rep = gath[:, :, c_f:c_f + d]
-    return (out, rep), (ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask)
-
-
-def _fused_km_bwd(c_f, d, use_attn, num_samples, res, douts):
-    from .pallas.fused_agno import fused_agno_bwd
-
-    ws, bs, gath, dst_q, mask_q, edge_pos, tquery, tmask = res
-    dout, _ = douts          # rep is data (coords) — its cotangent is dropped
-    f_dtype = gath.dtype
-    dout = dout.astype(f_dtype)
-    coef_e, dws, dbs = fused_agno_bwd(ws, bs, gath, dst_q, mask_q, dout,
-                                      c_f=c_f, d=d, use_attn=use_attn)
-    d_f = _flat_df(coef_e, dout, edge_pos, tquery, tmask, num_samples)
-    cg = gath.shape[-1]
-    d_f_aug = jnp.pad(d_f, ((0, 0), (0, cg - c_f)))       # coords: no grad
-    zeros_i = lambda x: jnp.zeros_like(x)
-    return (tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
-            tuple(db.astype(b.dtype) for db, b in zip(dbs, bs)),
-            d_f_aug.astype(f_dtype),
-            jnp.zeros(mask_q.T.shape, jnp.int32),         # idx_t
-            jnp.zeros_like(dst_q), zeros_i(mask_q),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
-
-
-fused_gather_agno_km.defvjp(_fused_km_fwd, _fused_km_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def fused_bucketed_agno(c_f: int, d: int, use_attn: bool, num_samples: int,
-                        ws, bs, f_aug, indices, dst_qs, masks,
-                        edge_pos, tquery, tmask):
-    """Fused per-edge AGNO over a degree-bucketed graph (vx-flattened).
-
-    Per bucket: ONE bulk row gather of f_aug = [f | src_coords] by that
-    bucket's [Qb, Kb] indices, then the fused Pallas pipeline
-    (ops/pallas/fused_agno.py) — kernel MLP, cosine attention / mean fold,
-    masked Kb-reduce — with per-edge activations in VMEM. Outputs concatenate
-    in bucket row order (the caller unpermutes), replacing the XLA
-    _folded_coef + bucketed_gather_multiply_reduce chain.
-
-    indices/dst_qs/masks: per-bucket [Qb, Kb] / [Qb, d] / [Qb, Kb] tuples;
-    edge_pos/tquery/tmask: the COMBINED transpose graph in bucket-
-    concatenated edge space (ops/padding.py::transpose_bucket_edges).
-    Returns (out [R, c_f], reps) with R = Σ Qb and reps a per-bucket tuple
-    of [Kb, Qb, d] coordinate slices of the gathered rows — shared with the
-    geometric embedding so it never issues its own narrow per-bucket [E, d]
-    gathers. reps are data (coords): their cotangents are discarded.
-
-    Backward: per-bucket fused Pallas passes emit dW/db (summed across
-    buckets) and the per-bucket edge-major coefficient — exactly the
-    bucket-concatenated edge numbering the combined d_f pass expects
-    (_bucketed_df, with the per-sample-slab scan).
-    """
-    return _fused_bucketed_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
-                               indices, dst_qs, masks, edge_pos, tquery,
-                               tmask)[0]
-
-
-def _fused_bucketed_fwd(c_f, d, use_attn, num_samples, ws, bs, f_aug,
-                        indices, dst_qs, masks, edge_pos, tquery, tmask):
-    from .pallas.fused_agno import fused_agno_fwd
-
-    outs, gaths = [], []
-    for idx, dst, m in zip(indices, dst_qs, masks):
-        gath = _bulk_gather(f_aug, idx.T)                 # [Kb, Qb, CG]
-        gaths.append(gath)
-        outs.append(fused_agno_fwd(ws, bs, gath, dst, m, c_f=c_f, d=d,
-                                   use_attn=use_attn))
-    out = jnp.concatenate(outs, axis=0)
-    reps = tuple(g[:, :, c_f:c_f + d] for g in gaths)
-    return (out, reps), (ws, bs, tuple(gaths), dst_qs, masks, edge_pos,
-                         tquery, tmask)
-
-
-def _fused_bucketed_bwd(c_f, d, use_attn, num_samples, res, douts):
-    from .pallas.fused_agno import fused_agno_bwd
-
-    ws, bs, gaths, dst_qs, masks, edge_pos, tquery, tmask = res
-    dout, _ = douts          # reps are data (coords) — cotangents dropped
-    f_dtype = gaths[0].dtype
-    cg = gaths[0].shape[-1]
-    dout = dout.astype(f_dtype)
-
-    coefs, dws_sum, dbs_sum, off = [], None, None, 0
-    for gath, dst, m in zip(gaths, dst_qs, masks):
-        kb, qb = gath.shape[0], gath.shape[1]
-        coef_e, dws, dbs = fused_agno_bwd(
-            ws, bs, gath, dst, m, dout[off:off + qb], c_f=c_f, d=d,
-            use_attn=use_attn)
-        off += qb
-        coefs.append(coef_e.reshape(qb, kb, c_f))
-        if dws_sum is None:
-            dws_sum, dbs_sum = list(dws), list(dbs)
-        else:
-            dws_sum = [a + b_ for a, b_ in zip(dws_sum, dws)]
-            dbs_sum = [a + b_ for a, b_ in zip(dbs_sum, dbs)]
-
-    d_f = _bucketed_df(coefs, dout, edge_pos, tquery, tmask, num_samples,
-                       1, c_f)
-    d_f_aug = jnp.pad(d_f.reshape(-1, c_f),
-                      ((0, 0), (0, cg - c_f)))            # coords: no grad
-    zeros_i = lambda x: jnp.zeros_like(x)
-    return (tuple(dw.astype(w.dtype) for dw, w in zip(dws_sum, ws)),
-            tuple(db.astype(b_.dtype) for db, b_ in zip(dbs_sum, bs)),
-            d_f_aug.astype(f_dtype),
-            tuple(jnp.zeros(m.shape, jnp.int32) for m in masks),
-            tuple(jnp.zeros_like(x) for x in dst_qs),
-            tuple(zeros_i(m) for m in masks),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
-
-
-fused_bucketed_agno.defvjp(_fused_bucketed_fwd, _fused_bucketed_bwd)
-
-
 def _bulk_gather(f2d, indices):
     """Leading-axis row gather with a forced materialization boundary.
 
@@ -634,299 +485,6 @@ def _bucketed_df_scan(coefs, dout2, edge_pos, tquery, tmask, s):
 bucketed_gather_multiply_reduce.defvjp(_bucketed_fwd, _bucketed_bwd)
 
 
-def to_km_edge_ids_flat(edge_pos: jnp.ndarray, b: int, qs: int,
-                        k: int) -> jnp.ndarray:
-    """Q-major flat edge ids (models/magno.py::flatten_vx_tgraph,
-    e = s·qs·k + q·k + j) → K-major ids (e = j·b·qs + s·qs + q), the row
-    order of the 2D [K·Q, C] edge-flat coefficient. Elementwise int ops —
-    fuses into the consuming gather's index computation."""
-    samp = edge_pos // (qs * k)
-    rem = edge_pos % (qs * k)
-    return (rem % k) * (b * qs) + samp * qs + rem // k
-
-
-def to_km_edge_ids_bucketed(edge_pos: jnp.ndarray, b: int,
-                            shapes) -> jnp.ndarray:
-    """Bucket-concatenated Q-major edge ids (models/magno.py::
-    flatten_vx_bucketed, bucket j: B·ΣRK_{<j} + s·R_j·K_j + r·K_j + k) →
-    K-major ids (B·ΣRK_{<j} + k·B·R_j + s·R_j + r). shapes: per-bucket
-    (Qb_j, K_j) static forward-graph shapes with Qb_j = b·R_j. Also covers
-    the fx layout (ops/padding.py::transpose_bucket_edges) with b = 1."""
-    rks = [(qb // b) * kb for qb, kb in shapes]
-    base = np.concatenate([[0], np.cumsum(rks)]).astype(np.int64)
-    out = jnp.zeros_like(edge_pos)
-    for j, (qb, kb) in enumerate(shapes):
-        rj = qb // b
-        lo = b * int(base[j])
-        sel = (edge_pos >= lo) & (edge_pos < lo + b * rks[j])
-        rel = edge_pos - lo
-        samp = rel // (rj * kb)
-        rem = rel % (rj * kb)
-        out = jnp.where(sel, lo + (rem % kb) * (b * rj) + samp * rj
-                        + rem // kb, out)
-    return out
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def gather_multiply_reduce_km2(coef2: jnp.ndarray, f: jnp.ndarray,
-                               idx_t: jnp.ndarray, edge_pos: jnp.ndarray,
-                               tquery: jnp.ndarray, tmask: jnp.ndarray,
-                               num_samples: int = 1) -> jnp.ndarray:
-    """K-major *edge-flat* gather-multiply-reduce: coef2 [K*Q, C] with row
-    id k*Q + q, f [N, C], idx_t [K, Q]. Returns [Q, C].
-
-    The 2D-coef successor of :func:`gather_multiply_reduce_km`. Keeping the
-    per-edge coefficient 2D end to end (kernel MLP included) pins its layout
-    to the row-major {1,0} every consumer wants: XLA laid the 3D kernel-MLP
-    dot output as physical [K][C][Q], forcing three 134 MB layout copies per
-    step around the airfoil decoder (fwd Pallas operand, bwd MLP operand,
-    bwd edge-flat view). The [K, Q, C] view handed to the Pallas reduce is a
-    bitcast of coef2, and — because edge_pos now carries K-MAJOR edge ids
-    (models/magno.py::flatten_vx_tgraph_km, e = k*Q + q) — the backward d_f
-    gathers read coef2 directly with no swapaxes materialization.
-    """
-    return _km2_fwd(coef2, f, idx_t, edge_pos, tquery, tmask, num_samples)[0]
-
-
-def _km2_fwd(coef2, f, idx_t, edge_pos, tquery, tmask, num_samples=1):
-    k, qx = idx_t.shape
-    c = coef2.shape[-1]
-    gath_km = _bulk_gather(f, idx_t)                  # [K, Q, C]
-    out = _mulred_k_dispatch(coef2.reshape(k, qx, c), gath_km, 1)
-    return out, (coef2, gath_km, edge_pos, tquery, tmask)
-
-
-def _km2_bwd(num_samples, res, dout):
-    coef2, gath_km, edge_pos, tquery, tmask = res
-    f_dtype = gath_km.dtype
-    k, qx, c = gath_km.shape[0], gath_km.shape[1], coef2.shape[-1]
-    dout = dout.astype(f_dtype)
-    d_coef = _mulred_b_dispatch(gath_km, dout, 1, c).reshape(
-        k * qx, c).astype(coef2.dtype)
-    d_f = _flat_df_km(coef2.astype(f_dtype), dout, edge_pos, tquery, tmask,
-                      num_samples, k)
-    zeros_i = lambda x: jnp.zeros_like(x)
-    return (d_coef, d_f, jnp.zeros((k, qx), jnp.int32),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
-
-
-gather_multiply_reduce_km2.defvjp(_km2_fwd, _km2_bwd)
-
-
-def _flat_df_km(coef2, dout, edge_pos, tquery, tmask, num_samples, k):
-    """d_f for the K-major edge-flat layout: identical gather structure to
-    :func:`_flat_df`, but edge_pos indexes coef2's k*Q + q rows directly —
-    no [Q, K, C] re-materialization. coef2: [K*Q, C]; dout: [Q, C]."""
-    f_dtype = dout.dtype
-    if (num_samples > 1
-            and dout.shape[0] % num_samples == 0
-            and tmask.shape[0] % num_samples == 0):
-        return _flat_df_km_scan(coef2, dout, edge_pos, tquery, tmask,
-                                num_samples, k).astype(f_dtype)
-    cg = jnp.where(tmask.T[..., None],
-                   _bulk_gather(coef2, edge_pos.T), 0)          # [Kt, N, C]
-    dg_km = _bulk_gather(dout, tquery.T)                        # [Kt, N, C]
-    return _mulred_k_dispatch(cg, dg_km, 1).astype(f_dtype)
-
-
-def _flat_df_km_scan(coef2, dout, edge_pos, tquery, tmask, b, k):
-    """Per-sample-slab d_f scan for the K-major edge-flat layout.
-
-    Same source-footprint argument as :func:`_flat_df_scan`. Sample s's
-    coef rows sit at j*(b*qs) + s*qs + q — K slabs strided across samples —
-    so the slab is a middle-axis dynamic slice of the [K, b, qs*C] bitcast
-    view (contiguous per (j, s)), reshaped (bitcast) to the per-sample
-    K-major flat [k*qs, C]. Global km edge ids localize with one div/mod:
-    e_local = (e // (b*qs))*qs + e % (b*qs) - s*qs.
-    """
-    e, c = coef2.shape
-    q = dout.shape[0]
-    n, kt = tmask.shape
-    qs, ns = q // b, n // b
-    samp = jnp.arange(b, dtype=edge_pos.dtype)[:, None, None]
-    ep_g = edge_pos.reshape(b, ns, kt)
-    ep = jnp.clip((ep_g // (b * qs)) * qs + ep_g % (b * qs) - samp * qs,
-                  0, k * qs - 1)
-    tq = jnp.clip(tquery.reshape(b, ns, kt) - samp * qs, 0, qs - 1)
-    tm = tmask.reshape(b, ns, kt)
-    cview = coef2.reshape(k, b, qs * c)
-
-    def body(_, args):
-        i, ds, epi, tqi, tmi = args
-        slab = jax.lax.dynamic_slice_in_dim(cview, i, 1, 1).reshape(
-            k * qs, c)
-        cg = jnp.where(tmi.T[..., None], _bulk_gather(slab, epi.T), 0)
-        dg = _bulk_gather(ds, tqi.T)                  # [Kt, Ns, C]
-        return None, _mulred_k_dispatch(cg, dg, 1)
-
-    _, df = jax.lax.scan(
-        body, None,
-        (jnp.arange(b), dout.reshape(b, qs, c), ep, tq, tm),
-        unroll=_scan_unroll())
-    return df.reshape(n, c)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def bucketed_gather_multiply_reduce_km(coefs2, f, indices, edge_pos, tquery,
-                                       tmask, num_samples: int = 1):
-    """K-major edge-flat bucketed gather-multiply-reduce (vx-flattened).
-
-    coefs2: per-bucket 2D [K_j·Qb_j, C] coefficients with row id k·Qb_j + q
-    (padded edges zeroed); f: [N, 1, C]; indices: per-bucket [Qb_j, K_j];
-    edge_pos/tquery/tmask: combined transpose graph with K-MAJOR edge ids
-    (models/magno.py::flatten_vx_bucketed km_edges=True). Returns [R, 1, C].
-
-    The bucketed analogue of :func:`gather_multiply_reduce_km2`: 2D coefs
-    keep the kernel-MLP dot outputs row-major (no [Qb][C][Kb]-physical
-    layouts to copy around the Pallas operands), the forward needs no
-    swapaxes, d_coef returns in the producer's layout, and the d_f
-    edge-flat view is a plain concat of the 2D coefs.
-    """
-    return _bucketed_km_fwd(coefs2, f, indices, edge_pos, tquery, tmask,
-                            num_samples)[0]
-
-
-def _bucketed_km_fwd(coefs2, f, indices, edge_pos, tquery, tmask,
-                     num_samples=1):
-    n, b, c = f.shape
-    f2d = f.reshape(n, b * c)
-    outs, gaths = [], []
-    for coef2, idx in zip(coefs2, indices):
-        qb, kb = idx.shape
-        gath_km = _bulk_gather(f2d, idx.T)                    # [Kb, Qb, W]
-        gaths.append(gath_km)
-        outs.append(_mulred_k_dispatch(coef2.reshape(kb, qb, c), gath_km, b))
-    out = jnp.concatenate(outs, axis=0).reshape(-1, b, c)
-    return out, (coefs2, tuple(gaths), edge_pos, tquery, tmask)
-
-
-def _bucketed_km_bwd(num_samples, res, dout):
-    coefs2, gaths, edge_pos, tquery, tmask = res
-    n = tmask.shape[0]
-    c = coefs2[0].shape[-1]
-    b = gaths[0].shape[-1] // c
-    w = b * c
-    f_dtype = gaths[0].dtype
-    dout = dout.astype(f_dtype)
-    dout2 = dout.reshape(-1, w)
-
-    d_coefs, off = [], 0
-    for coef2, gath_km in zip(coefs2, gaths):
-        kb, qb = gath_km.shape[0], gath_km.shape[1]
-        d_coefs.append(_mulred_b_dispatch(
-            gath_km, dout2[off:off + qb], b, c).reshape(
-                kb * qb, c).astype(coef2.dtype))
-        off += qb
-
-    d_f = _bucketed_df_km(coefs2, tuple(g.shape[0] for g in gaths), dout2,
-                          edge_pos, tquery, tmask, num_samples,
-                          b, c).reshape(n, b, c)
-    zeros_i = lambda x: jnp.zeros_like(x)
-    return (tuple(d_coefs), d_f,
-            tuple(jnp.zeros((g.shape[1], g.shape[0]), jnp.int32)
-                  for g in gaths),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
-
-
-def _bucketed_df_km(coefs2, kbs, dout2, edge_pos, tquery, tmask, num_samples,
-                    b, c):
-    """Combined d_f over the K-major bucket-concatenated transpose graph.
-    coefs2: per-bucket [K_j·Qb_j, C]; kbs: per-bucket K_j. The edge-flat
-    gather source is the plain concat of the 2D coefs — the Q-major path's
-    per-bucket [Qb, Kb, C] reshape/concat re-materialization disappears."""
-    f_dtype = dout2.dtype
-    n = tmask.shape[0]
-    scannable = (num_samples > 1 and b == 1
-                 and n % num_samples == 0
-                 and all((cf.shape[0] // kb) % num_samples == 0
-                         for cf, kb in zip(coefs2, kbs)))
-    if scannable:
-        return _bucketed_df_km_scan(
-            [cf.astype(f_dtype) for cf in coefs2], kbs, dout2, edge_pos,
-            tquery, tmask, num_samples).astype(f_dtype)
-    coef_flat = jnp.concatenate(list(coefs2), axis=0).astype(f_dtype)
-    cg = jnp.where(tmask.T[..., None],
-                   _bulk_gather(coef_flat, edge_pos.T), 0)    # [Kt, N, C]
-    dg_km = _bulk_gather(dout2, tquery.T)                     # [Kt, N, W]
-    return _mulred_k_dispatch(cg, dg_km, b).astype(f_dtype)
-
-
-def _bucketed_df_km_scan(coefs2, kbs, dout2, edge_pos, tquery, tmask, s):
-    """Per-sample-slab d_f scan, K-major bucketed layout.
-
-    Bucket j's flat rows are s·R_j + r (bucket-major, sample-minor), so its
-    K-major coef rows k·(B·R_j) + s·R_j + r are per-(k, sample) contiguous:
-    the sample slab is a middle-axis dynamic slice of the [K_j, B, R_j·C]
-    view, reshaped (bitcast) to [K_j·R_j, C] and concatenated across
-    buckets. Global km edge ids localize per bucket with one div/mod (see
-    `unmap_km`)."""
-    c = coefs2[0].shape[-1]
-    w = dout2.shape[-1]
-    n, kt = tmask.shape
-    ns = n // s
-    rs = [cf.shape[0] // (kb * s) for cf, kb in zip(coefs2, kbs)]
-    sz = [r * kb for r, kb in zip(rs, kbs)]       # per-sample edges / bucket
-    e_base = np.concatenate([[0], np.cumsum(sz)]).astype(np.int64)
-    r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
-    kr_base = e_base                               # Σ K_j·R_j == Σ edges
-
-    views = tuple(cf.reshape(kb, s, rs_j * c)
-                  for cf, kb, rs_j in zip(coefs2, kbs, rs))
-    dout_xs = tuple(
-        dout2[s * int(r_base[j]):s * int(r_base[j + 1])].reshape(s, rs[j], w)
-        for j in range(len(rs)))
-
-    def unmap_km(pos):
-        """Global K-major edge id → per-sample K-major concat position."""
-        out = jnp.zeros_like(pos)
-        samp = jnp.arange(s, dtype=pos.dtype).reshape(s, 1, 1)
-        for j, (kb, rj) in enumerate(zip(kbs, rs)):
-            lo = s * int(e_base[j])
-            sel = (pos >= lo) & (pos < lo + s * int(sz[j]))
-            rel = pos - lo
-            k_id = rel // (s * rj)
-            rem = rel % (s * rj)
-            out = jnp.where(sel, int(kr_base[j]) + k_id * rj + rem
-                            - samp * rj, out)
-        return jnp.clip(out, 0, int(e_base[-1]) - 1)
-
-    ep = unmap_km(edge_pos.reshape(s, ns, kt))
-    samp_q = jnp.arange(s, dtype=tquery.dtype).reshape(s, 1, 1)
-    tq = _unmap_rows_km(tquery.reshape(s, ns, kt), r_base, rs, samp_q)
-    tm = tmask.reshape(s, ns, kt)
-
-    def body(_, args):
-        i, dxs, epi, tqi, tmi = args
-        slabs = [jax.lax.dynamic_slice_in_dim(v, i, 1, 1).reshape(-1, c)
-                 for v in views]
-        slab = jnp.concatenate(slabs, axis=0)                 # [Es, C]
-        drows = jnp.concatenate(list(dxs), axis=0)            # [Rt, W]
-        cg = jnp.where(tmi.T[..., None], _bulk_gather(slab, epi.T), 0)
-        dg = _bulk_gather(drows, tqi.T)                       # [Kt, Ns, W]
-        return None, _mulred_k_dispatch(cg, dg, 1)
-
-    _, df = jax.lax.scan(body, None,
-                         (jnp.arange(s), dout_xs, ep, tq, tm),
-                         unroll=_scan_unroll())
-    return df.reshape(n, c)
-
-
-def _unmap_rows_km(pos, base, sizes, samp):
-    """Global bucket-major row position → per-sample concat position
-    (row numbering is unchanged from the Q-major layout)."""
-    out = jnp.zeros_like(pos)
-    s = samp.shape[0]
-    for j in range(len(sizes)):
-        lo = s * int(base[j])
-        sel = (pos >= lo) & (pos < lo + s * int(sizes[j]))
-        out = jnp.where(sel, pos - lo - samp * int(sizes[j])
-                        + int(base[j]), out)
-    return jnp.clip(out, 0, int(base[-1]) - 1)
-
-
-bucketed_gather_multiply_reduce_km.defvjp(_bucketed_km_fwd, _bucketed_km_bwd)
-
-
 def apply_bucketed_graph_transform(coefs, f, bg,
                                    num_samples: int = 1) -> jnp.ndarray:
     """coefs: per-bucket [Qb, Kb, C]; f: [B, N, C] (fx batched, shared
@@ -944,26 +502,6 @@ def apply_bucketed_graph_transform(coefs, f, bg,
         tuple(coefs), jnp.swapaxes(f, 0, 1),
         tuple(g.indices for g in bg.buckets),
         bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
-    return jnp.swapaxes(out, 0, 1)
-
-
-def apply_bucketed_graph_transform_km(coefs2, f, bg,
-                                      num_samples: int = 1) -> jnp.ndarray:
-    """K-major counterpart of :func:`apply_bucketed_graph_transform`:
-    coefs2 per-bucket 2D [K_j·Qb_j, C]. The bucketed tgraph keeps its
-    Q-major edge numbering on disk/in caches; ids convert here (elementwise,
-    fused into the backward gather's index computation)."""
-    shapes = tuple(g.indices.shape for g in bg.buckets)
-    ep_km = to_km_edge_ids_bucketed(bg.tgraph.edge_pos, num_samples, shapes)
-    idxs = tuple(g.indices for g in bg.buckets)
-    if f.ndim == 2:
-        out = bucketed_gather_multiply_reduce_km(
-            tuple(coefs2), f[:, None, :], idxs, ep_km, bg.tgraph.query,
-            bg.tgraph.mask, num_samples)
-        return out[:, 0, :]
-    out = bucketed_gather_multiply_reduce_km(
-        tuple(coefs2), jnp.swapaxes(f, 0, 1), idxs, ep_km, bg.tgraph.query,
-        bg.tgraph.mask, num_samples)
     return jnp.swapaxes(out, 0, 1)
 
 

@@ -1,1 +1,1 @@
-# Pallas TPU kernels for the hot ops (flash attention, fused AGNO reduce).
+# Pallas TPU kernels for the hot ops (flash attention, multiply-reduce consumers).

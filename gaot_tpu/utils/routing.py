@@ -7,9 +7,8 @@ site calls record_route() as it traces and the trainer prints one line after
 the first compiled step (train/base_trainer.py). The reference has no
 equivalent (its kernels are fixed CUDA library calls).
 
-Config fields (model.args.magno.fused_agno, model.args.transformer.fused_ffn,
-model.args.transformer.attn_backend) choose the route; the GAOT_FUSED_AGNO /
-GAOT_FUSED_FFN / GAOT_ATTN_BACKEND env vars remain measurement overrides.
+Config fields (model.args.transformer.fused_ffn,
+model.args.transformer.attn_backend) choose the route; the GAOT_FUSED_FFN / GAOT_ATTN_BACKEND env vars remain measurement overrides.
 """
 from __future__ import annotations
 

@@ -156,92 +156,3 @@ def test_agno_no_function_transform_a():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("use_attn", [False, True])
-@pytest.mark.parametrize("route", ["flat", "bucketed"])
-def test_agno_km2_matches_default(route, use_attn):
-    """The 2D K-major edge-flat coefficient pipeline (GAOT_KM2) must match
-    the 3D XLA paths in output and input-function gradient on both the flat
-    and the bucketed vx routes (same math, 2D dots + K-major edge ids)."""
-    import gaot_tpu.models.agno as agno_mod
-    from gaot_tpu.models.agno import AGNO
-    from gaot_tpu.models.magno import flatten_vx_bucketed, flatten_vx_graph, \
-        flatten_vx_tgraph
-    from gaot_tpu.ops.padding import (PaddedGraph, bucketize_graphs_stacked,
-                                      pad_csr, repad, repad_tgraph,
-                                      stack_graphs, stack_tgraphs,
-                                      transpose_graph)
-    from gaot_tpu.ops.neighbor_search import radius_search
-
-    rng = np.random.default_rng(23)
-    b, n, q, c = 3, 60, 32, 8
-    srcs = rng.uniform(-1, 1, (b, n, 2))
-    dst = rng.uniform(-1, 1, (q, 2)).astype(np.float32)
-    gs = [pad_csr(*radius_search(srcs[i], dst, 0.5), pad_multiple=4)
-          for i in range(b)]
-    k = max(g.k for g in gs)
-    gs = [repad(g, k) for g in gs]
-    ts = [transpose_graph(g, n) for g in gs]
-    kt = max(t.edge_pos.shape[-1] for t in ts)
-    ts = [repad_tgraph(t, kt) for t in ts]
-    stacked = stack_graphs(gs)
-    t_st = stack_tgraphs(ts)
-    to_j = lambda t: jax.tree.map(jnp.asarray, t)
-
-    y_flat = jnp.asarray(
-        srcs.reshape(b * n, 2).astype(np.float32))
-    x_rep = jnp.asarray(np.tile(dst, (b, 1)))
-    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
-
-    model = AGNO(channel_mlp_features=(16, c), transform_type="linear",
-                 use_attn=use_attn, coord_dim=2)
-
-    if route == "flat":
-        graph = flatten_vx_graph(to_j(PaddedGraph(stacked.indices,
-                                                  stacked.mask)), n)
-        tg = flatten_vx_tgraph(to_j(t_st), q, k)
-        args = dict(y=y_flat, graph=graph, x=x_rep, f_y=f, tgraph=tg,
-                    num_samples=b)
-    else:
-        # Radius graphs on uniform points are too degree-uniform to bucket;
-        # use the heavy-tailed synthetic graph (indices needn't be
-        # geometrically consistent for a route-equivalence check).
-        from tests.test_vx_bucketing import _random_stacked_graph
-        st2 = _random_stacked_graph(rng, b, q, n, 16)
-        bb = bucketize_graphs_stacked(to_j(st2), num_sources=n, tile=4,
-                                      min_k=4, launch_penalty_rows=8)
-        assert bb is not None and len(bb.buckets) > 1
-        bg = flatten_vx_bucketed(to_j(bb), n)
-        # bucket-concatenated query coords, like models/magno.py
-        xcat = jnp.take(x_rep, bg.perm, axis=0)
-        args = dict(y=y_flat, graph=bg, x=xcat, f_y=f, num_samples=b)
-
-    params = model.init(jax.random.key(0), **args)
-
-    def run(f_in):
-        a = dict(args)
-        a["f_y"] = f_in
-        return model.apply(params, **a)
-
-    def loss(f_in):
-        return jnp.sum(run(f_in) ** 2)
-
-    out0, g0 = run(f), jax.grad(loss)(f)
-    import os
-    os.environ["GAOT_KM2"] = "1"       # read at trace time (_km2_resolved)
-    try:
-        out1, g1 = run(f), jax.grad(loss)(f)
-        os.environ["GAOT_KM2_SPLIT"] = "1"   # split first kernel-MLP layer
-        out2, g2 = run(f), jax.grad(loss)(f)
-    finally:
-        os.environ.pop("GAOT_KM2", None)
-        os.environ.pop("GAOT_KM2_SPLIT", None)
-    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
-                               rtol=2e-5, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
-                               rtol=2e-4, atol=2e-5)
-    # Split differs from concat only in fp summation order of the first
-    # dense layer (d1+d2 ≤ 8 terms) — slightly looser tolerance.
-    np.testing.assert_allclose(np.asarray(out2), np.asarray(out0),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
-                               rtol=1e-3, atol=1e-4)

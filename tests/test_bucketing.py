@@ -222,55 +222,3 @@ def test_bucketed_transpose_backward_matches_plain():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_bucketed_km_fx_matches_dense():
-    """The K-major 2D-coef bucketed VJP on the fx layout (batched f, shared
-    coefs, transpose_bucket_edges numbering, num_samples=1) must match
-    autodiff of the dense layout in value and grads."""
-    rng = np.random.default_rng(4)
-    n, q, c, b = 60, 90, 4, 3
-    g = _random_graph(rng, q=q, n=n)
-    bg = bucketize_graph(g, num_sources=n, with_transpose=True, tile=16)
-    assert bg is not None and len(bg.buckets) > 1
-
-    f = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
-    coef_full = rng.normal(size=(q, g.k, c)).astype(np.float32)
-    coef_full = np.where(g.mask[..., None], coef_full, 0.0)
-
-    from gaot_tpu.ops.gather_apply import (apply_bucketed_graph_transform_km,
-                                           apply_graph_transform)
-
-    bg_dev = jax.tree.map(jnp.asarray, bg)
-
-    def coef_buckets_km(coef_full):
-        parts, off = [], 0
-        for bucket in bg.buckets:
-            nb = bucket.indices.shape[0]
-            rows = bg.perm[off:off + nb]
-            cb = jnp.where(jnp.asarray(bucket.mask[..., None]),
-                           coef_full[rows][:, :bucket.k], 0.0)
-            parts.append(jnp.swapaxes(cb, 0, 1).reshape(-1, c))  # [Kb*Qb, C]
-            off += nb
-        return parts
-
-    def out_dense(coef_full, f):
-        cf = jnp.where(jnp.asarray(g.mask[..., None]), coef_full, 0.0)
-        gj = PaddedGraph(jnp.asarray(g.indices), jnp.asarray(g.mask))
-        return apply_graph_transform(cf, f, gj, None)
-
-    def out_km(coef_full, f):
-        cat = apply_bucketed_graph_transform_km(
-            coef_buckets_km(coef_full), f, bg_dev, num_samples=1)
-        return unpermute_rows(cat, bg_dev.inv_perm, bg_dev.perm,
-                              bg_dev.row_valid)
-
-    coef_j = jnp.asarray(coef_full)
-    np.testing.assert_allclose(np.asarray(out_km(coef_j, f)),
-                               np.asarray(out_dense(coef_j, f)),
-                               rtol=1e-5, atol=1e-5)
-    for argnum in (0, 1):
-        g_d = jax.grad(lambda cf, f: jnp.sum(jnp.sin(out_dense(cf, f))),
-                       argnum)(coef_j, f)
-        g_k = jax.grad(lambda cf, f: jnp.sum(jnp.sin(out_km(cf, f))),
-                       argnum)(coef_j, f)
-        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_d),
-                                   rtol=1e-5, atol=1e-5)

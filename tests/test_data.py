@@ -39,6 +39,90 @@ def test_h5_nc_reader(tmp_path):
     assert out["c"] is None
 
 
+def _write_reference_shaped_nc4(path, rng):
+    """An xarray/netCDF4-written Poseidon-style file, replicated at the HDF5
+    level: named dimension scales, u [sample, time, node, var] float32 with a
+    _FillValue, x [1, 1, node, 2] (fix_x layout, data_processor.py:95-103 in
+    the reference), and an int16 scale_factor/add_offset packed c — the CF
+    encodings xr.open_dataset silently undoes (masking → NaN, unpacking)."""
+    import h5py
+
+    s, t, n, v = 6, 1, 12, 2
+    u = rng.normal(size=(s, t, n, v)).astype(np.float32)
+    c_true = rng.uniform(0, 1, size=(s, t, n, 1))
+    x = rng.uniform(-1, 1, size=(1, 1, n, 2)).astype(np.float32)
+    fill = np.float32(9.96921e36)  # netCDF default float fill
+    u_stored = u.copy()
+    u_stored[0, 0, 3, 1] = fill
+    u_stored[2, 0, 0, 0] = fill
+    scale, offset = 2.0 / 65000, 0.5
+    c_packed = np.round((c_true - offset) / scale).astype(np.int16)
+    with h5py.File(path, "w") as f:
+        for dim, size in [("sample", s), ("time", t), ("node", n),
+                          ("var", v), ("cvar", 1), ("dim", 2)]:
+            d = f.create_dataset(dim, data=np.arange(size, dtype=np.float64))
+            d.make_scale(dim)
+        du = f.create_dataset("u", data=u_stored)
+        du.attrs["_FillValue"] = fill
+        for i, dim in enumerate(["sample", "time", "node", "var"]):
+            du.dims[i].attach_scale(f[dim])
+        dc = f.create_dataset("c", data=c_packed)
+        dc.attrs["scale_factor"] = scale
+        dc.attrs["add_offset"] = offset
+        f.create_dataset("x", data=x)
+    mask = np.zeros(u.shape, bool)
+    mask[0, 0, 3, 1] = mask[2, 0, 0, 0] = True
+    return u, mask, c_packed * scale + offset, x
+
+
+def test_nc4_reader_reference_layout(tmp_path):
+    """h5py .nc path on a faithfully reference-shaped NetCDF4 file: dim
+    order preserved, _FillValue masked to NaN, packed ints unpacked — what
+    xr.open_dataset(...)[g].values returns (src/datasets/data_processor.py:
+    72-90)."""
+    rng = np.random.default_rng(0)
+    u, fillmask, c_dec, x = _write_reference_shaped_nc4(tmp_path / "toy.nc", rng)
+    out = read_dataset(str(tmp_path), "toy", ["u", "c", "x"])
+    assert out["u"].shape == u.shape  # [sample, time, node, var] order kept
+    assert np.isnan(out["u"][fillmask]).all()
+    np.testing.assert_array_equal(out["u"][~fillmask], u[~fillmask])
+    assert out["c"].dtype == np.float64  # packed int16 promotes, per xarray
+    np.testing.assert_allclose(out["c"], c_dec, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(out["x"], x)
+
+
+def test_netcdf3_fallback_reference_layout(tmp_path):
+    """Classic NetCDF3 files are not HDF5 — h5py raises and read_dataset
+    falls back to scipy.io.netcdf_file, with the same CF decoding."""
+    from scipy.io import netcdf_file
+
+    s, t, n = 4, 1, 8
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(s, t, n, 1)).astype(np.float32)
+    fill = np.float32(-999.0)
+    u_stored = u.copy()
+    u_stored[1, 0, 2, 0] = fill
+    x = rng.uniform(-1, 1, size=(1, 1, n, 2)).astype(np.float32)
+    with netcdf_file(tmp_path / "toy.nc", "w") as f:
+        for dim, size in [("sample", s), ("time", t), ("node", n),
+                          ("var", 1), ("dim", 2)]:
+            f.createDimension(dim, size)
+        vu = f.createVariable("u", np.float32,
+                              ("sample", "time", "node", "var"))
+        vu[:] = u_stored
+        vu._FillValue = fill
+        vx = f.createVariable("x", np.float32,
+                              ("sample", "time", "node", "dim"))
+        vx[:] = np.broadcast_to(x, (s, 1, n, 2))
+    out = read_dataset(str(tmp_path), "toy", ["u", "c", "x"])
+    assert np.isnan(out["u"][1, 0, 2, 0])
+    u_ok = np.ones(u.shape, bool)
+    u_ok[1, 0, 2, 0] = False
+    np.testing.assert_array_equal(out["u"][u_ok], u[u_ok])
+    assert out["c"] is None
+    assert out["x"].shape == (s, 1, n, 2)  # vx layout: per-sample coords
+
+
 def test_data_processor_normalization(tmp_path):
     make_static_fx_dataset(str(tmp_path / "toy.npz"), num_samples=24, num_nodes=32)
     cfg = merge_config(DatasetConfig, {

@@ -220,125 +220,3 @@ def test_nbc_pallas_consumer_integration_matches_einsum(monkeypatch):
     valid = g.mask[..., None]
     np.testing.assert_allclose(np.asarray(gc) * valid, np.asarray(gc_ref) * valid,
                                rtol=1e-4, atol=1e-5)
-
-
-def _vx_flat_setup(seed=7, b=4, n=40, q=16, c=8):
-    """Flat vx batch with BOTH tgraph numberings (Q-major and K-major)."""
-    from gaot_tpu.models.magno import (flatten_vx_graph, flatten_vx_tgraph,
-                                       flatten_vx_tgraph_km)
-    from gaot_tpu.ops.padding import repad, repad_tgraph, stack_graphs
-
-    rng = np.random.default_rng(seed)
-    srcs = rng.uniform(-1, 1, (b, n, 2))
-    dst = rng.uniform(-1, 1, (q, 2))
-    gs = [pad_csr(*radius_search(srcs[i], dst, 0.5), pad_multiple=4)
-          for i in range(b)]
-    k = max(g.k for g in gs)
-    gs = [repad(g, k) for g in gs]
-    ts = [transpose_graph(g, n) for g in gs]
-    kt = max(t.edge_pos.shape[-1] for t in ts)
-    ts = [repad_tgraph(t, kt) for t in ts]
-    stacked = stack_graphs(gs)
-    t_st = type(ts[0])(jnp.asarray(np.stack([t.edge_pos for t in ts])),
-                       jnp.asarray(np.stack([t.query for t in ts])),
-                       jnp.asarray(np.stack([t.mask for t in ts])))
-    flat_g = flatten_vx_graph(
-        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
-    flat_t = flatten_vx_tgraph(t_st, q, k)
-    flat_t_km = flatten_vx_tgraph_km(t_st, q, k)
-    coef_km = jnp.asarray(rng.normal(size=(k, b * q, c)).astype(np.float32))
-    coef_km = coef_km * flat_g.mask.T[..., None]
-    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
-    return flat_g, flat_t, flat_t_km, coef_km, f, (b, n, q, k, c)
-
-
-@pytest.mark.parametrize("num_samples", [1, 4])
-def test_km2_matches_qmajor_flat(num_samples):
-    """gather_multiply_reduce_km2 (2D K-major edge-flat coef + K-major
-    tgraph ids) must match the Q-major flat custom VJP in value and grads
-    for the same per-edge coefficients."""
-    from gaot_tpu.ops.gather_apply import gather_multiply_reduce_km2
-
-    flat_g, flat_t, flat_t_km, coef_km, f, (b, n, q, k, c) = _vx_flat_setup()
-
-    def loss_km2(coef_km, f):
-        coef2 = coef_km.reshape(-1, c)
-        return jnp.sum(gather_multiply_reduce_km2(
-            coef2, f, flat_g.indices.T, flat_t_km.edge_pos, flat_t_km.query,
-            flat_t_km.mask, num_samples) ** 2)
-
-    def loss_qmajor(coef_km, f):
-        coef = jnp.swapaxes(coef_km, 0, 1)
-        return jnp.sum(gather_multiply_reduce(
-            coef, f, flat_g.indices, flat_t.edge_pos, flat_t.query,
-            flat_t.mask, num_samples) ** 2)
-
-    out_km2 = loss_km2(coef_km, f)
-    out_q = loss_qmajor(coef_km, f)
-    np.testing.assert_allclose(np.asarray(out_km2), np.asarray(out_q),
-                               rtol=1e-5)
-    gc2, gf2 = jax.grad(loss_km2, argnums=(0, 1))(coef_km, f)
-    gcq, gfq = jax.grad(loss_qmajor, argnums=(0, 1))(coef_km, f)
-    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gfq),
-                               rtol=1e-4, atol=1e-5)
-    valid = flat_g.mask.T[..., None]
-    np.testing.assert_allclose(np.asarray(gc2) * valid,
-                               np.asarray(gcq) * valid,
-                               rtol=1e-4, atol=1e-5)
-
-
-@pytest.mark.parametrize("num_samples", [1, 3])
-def test_bucketed_km_matches_qmajor(num_samples):
-    """bucketed_gather_multiply_reduce_km (2D K-major coefs + K-major edge
-    ids) must match the Q-major bucketed custom VJP in value and grads."""
-    from gaot_tpu.models.magno import flatten_vx_bucketed
-    from gaot_tpu.ops.gather_apply import (
-        bucketed_gather_multiply_reduce,
-        bucketed_gather_multiply_reduce_km,
-    )
-    from gaot_tpu.ops.padding import bucketize_graphs_stacked
-
-    from tests.test_vx_bucketing import _random_stacked_graph
-
-    rng = np.random.default_rng(11)
-    s, n, q, k = 3, 40, 32, 16
-    graph = _random_stacked_graph(rng, s, q, n, k)
-    bb = bucketize_graphs_stacked(graph, num_sources=n, tile=4, min_k=4,
-                                  launch_penalty_rows=8)
-    assert bb is not None and len(bb.buckets) > 1
-    to_j = lambda t: jax.tree.map(jnp.asarray, t)
-    flat_q = flatten_vx_bucketed(to_j(bb), n)
-    flat_km = flatten_vx_bucketed(to_j(bb), n, km_edges=True)
-    # Same forward-graph buckets either way; only tgraph edge ids differ.
-    coefs_q = []
-    for g in flat_q.buckets:
-        qb, kb = g.indices.shape
-        cf = rng.normal(size=(qb, kb, 4)).astype(np.float32)
-        coefs_q.append(jnp.asarray(cf) * g.mask[..., None])
-    f = jnp.asarray(rng.normal(size=(s * n, 1, 4)).astype(np.float32))
-
-    def loss_q(coefs, f):
-        return jnp.sum(bucketed_gather_multiply_reduce(
-            tuple(coefs), f, tuple(g.indices for g in flat_q.buckets),
-            flat_q.tgraph.edge_pos, flat_q.tgraph.query, flat_q.tgraph.mask,
-            num_samples) ** 2)
-
-    def loss_km(coefs, f):
-        coefs2 = tuple(jnp.swapaxes(cf, 0, 1).reshape(-1, cf.shape[-1])
-                       for cf in coefs)
-        return jnp.sum(bucketed_gather_multiply_reduce_km(
-            coefs2, f, tuple(g.indices for g in flat_km.buckets),
-            flat_km.tgraph.edge_pos, flat_km.tgraph.query,
-            flat_km.tgraph.mask, num_samples) ** 2)
-
-    np.testing.assert_allclose(np.asarray(loss_km(coefs_q, f)),
-                               np.asarray(loss_q(coefs_q, f)), rtol=1e-5)
-    gq = jax.grad(loss_q, argnums=(0, 1))(coefs_q, f)
-    gk = jax.grad(loss_km, argnums=(0, 1))(coefs_q, f)
-    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gq[1]),
-                               rtol=1e-4, atol=1e-5)
-    for cq, ck, g in zip(gq[0], gk[0], flat_q.buckets):
-        valid = g.mask[..., None]
-        np.testing.assert_allclose(np.asarray(ck) * valid,
-                                   np.asarray(cq) * valid,
-                                   rtol=1e-4, atol=1e-5)
