@@ -375,6 +375,54 @@ def compiled_flops(jitted, *args, **kwargs):
                 os.environ[k] = v
 
 
+def compiled_roofline(jitted, *args, **kwargs):
+    """BENCH_ROOFLINE=1: bytes-accessed + FLOPs of the MEASURED program
+    (live kernel routes, per-sample scans unrolled so every iteration's
+    traffic counts) from XLA's cost model → per-step roofline floors.
+
+    Unlike compiled_flops, keeps Pallas routes ON: custom-call operand/
+    output bytes approximate the kernels' streaming traffic, while the
+    XLA-fallback program would materialize [S, S] attention logits the
+    real program never writes. Costs one extra (unrolled) compile."""
+    import functools
+
+    import jax
+
+    if isinstance(jitted, functools.partial):
+        args = (*jitted.args, *args)
+        jitted = jitted.func
+    inner = getattr(jitted, "__wrapped__", None)
+    if inner is not None:
+        jitted = jax.jit(functools.partial(inner))
+    saved = os.environ.get("GAOT_FLOPS_UNROLL")
+    os.environ["GAOT_FLOPS_UNROLL"] = "1"
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:
+        log(f"roofline cost_analysis unavailable: {e}")
+        return None
+    finally:
+        if saved is None:
+            os.environ.pop("GAOT_FLOPS_UNROLL", None)
+        else:
+            os.environ["GAOT_FLOPS_UNROLL"] = saved
+    kind, peak = device_peak_flops()
+    # NOTE: cost-model "bytes accessed" charges every gather op its FULL
+    # source array, so for gather-heavy programs it overcounts real HBM
+    # traffic — it is reported as a cost-model diagnostic, NOT a memory
+    # floor. The binding resource on the vx path is gather descriptor rate
+    # (~1 row/cycle); see scripts/vx_descriptor_bound.py.
+    out = {"cost_model_bytes_gb": round(nbytes / 1e9, 2),
+           "flops_per_step_gf": round(flops / 1e9, 2)}
+    if peak:
+        out["compute_floor_ms"] = round(flops / peak * 1e3, 2)
+    return out
+
+
 def force(x) -> float:
     """Fetch a scalar VALUE from the last element of x — the only reliable
     execution barrier on the tunneled (axon) TPU runtime; see
@@ -503,6 +551,11 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
     flops_per_step = compiled_flops(train_step, state["params"],
                                     state["opt_state"], key,
                                     make_indices(step_rng))
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE", "0") == "1":
+        roofline = compiled_roofline(train_step, state["params"],
+                                     state["opt_state"], key,
+                                     make_indices(step_rng))
 
     def once():
         for _ in range(iters):
@@ -517,6 +570,10 @@ def run_vx_bench(batch_size, num_nodes, train_size, warmup, iters, repeats,
            "warmup_s": round(warmup_s, 1), **stats}
     if phases:
         out["warmup_phases"] = phases
+    if roofline:
+        roofline["measured_step_ms"] = round(
+            1e3 * batch_size / stats["value"], 2)
+        out["roofline"] = roofline
     return attach_mfu(out, stats["value"], flops_per_step, batch_size)
 
 
@@ -624,10 +681,12 @@ def run_ablate(mode, run_default):
     vx math)."""
     if mode == "vx":
         settings = [
-            # Default XLA K-major route, and Morton node ordering on/off
-            # (default-on since round 4): re-ordered nodes change the
-            # degree-bucket fill and gather locality.
+            # Default XLA K-major route with in-degree-grouped d_f scans;
+            # grouped_df_off restores the flat [N, Kt] transpose layout
+            # (read at graph-BUILD time, ops/padding.py::degree_group_tgraph);
+            # Morton node ordering on/off (default-on since round 4).
             ("default", {}),
+            ("grouped_df_off", {"GAOT_GROUPED_DF": "0"}),
             ("morton_off", {"BENCH_MORTON": "0"}),
         ]
     else:

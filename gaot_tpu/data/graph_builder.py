@@ -23,8 +23,10 @@ import numpy as np
 from ..ops.neighbor_search import knn_search, radius_search
 from ..ops.padding import (
     BatchedBucketedGraph,
+    GroupedTransposeGraph,
     PaddedGraph,
     TransposeGraph,
+    degree_group_tgraph,
     _round_up,
     morton_order,
     pad_csr,
@@ -208,7 +210,7 @@ class GraphBuilder:
             "pad": self.pad_multiple, "cap": self.neighbor_cap,
             "node_pad": self.node_pad_multiple, "samples": num_samples,
             "tgraphs": with_transpose, "bucketing": bucketing,
-            "morton": self.morton,
+            "morton": self.morton, "grouped_df": grouped_df_enabled(),
         }, sort_keys=True)
         digest = hashlib.sha1(key.encode()).hexdigest()[:16]
         return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
@@ -369,6 +371,15 @@ def prepare_fx_device_graphs(enc: List[PaddedGraph], dec: List[PaddedGraph],
     return enc_g, dec_g, enc_t, dec_t
 
 
+def grouped_df_enabled() -> bool:
+    """In-degree-grouped transpose graphs for the vx d_f backward scans
+    (ops/padding.py::degree_group_tgraph). Read at graph-BUILD time — the
+    grouping changes the stored buffer layout, so it is part of the graph
+    cache key. GAOT_GROUPED_DF=0 restores the flat [N, Kt] layout (ablate/
+    diagnostic)."""
+    return os.environ.get("GAOT_GROUPED_DF", "1") == "1"
+
+
 def vx_graph_buffers(graphs: VxSplitGraphs) -> Dict[str, np.ndarray]:
     """Serialize a VxSplitGraphs into a flat dict of per-sample arrays —
     the single key vocabulary shared by the static vx loader, the sequential
@@ -397,7 +408,13 @@ def vx_graph_buffers(graphs: VxSplitGraphs) -> Dict[str, np.ndarray]:
         else:
             bufs[f"{p}_idx_{s}"] = g.indices
             bufs[f"{p}_mask_{s}"] = g.mask
-        if tg is not None:
+        if isinstance(tg, GroupedTransposeGraph):
+            bufs[f"{p}_tinv_{s}"] = tg.inv_perm
+            for j, gg in enumerate(tg.groups):
+                bufs[f"{p}_tg{j}_pos_{s}"] = gg.edge_pos
+                bufs[f"{p}_tg{j}_q_{s}"] = gg.query
+                bufs[f"{p}_tg{j}_mask_{s}"] = gg.mask
+        elif tg is not None:
             bufs[f"{p}_tpos_{s}"] = tg.edge_pos
             bufs[f"{p}_tq_{s}"] = tg.query
             bufs[f"{p}_tmask_{s}"] = tg.mask
@@ -413,6 +430,14 @@ def _graphs_from_keys(src: Dict, p: str, s: int):
     """(graph, separate_tgraph) for side p, scale s from a key dict — arrays
     may be NumPy (host) or traced jax values (inside the epoch scan)."""
     def tg():
+        if f"{p}_tinv_{s}" in src:
+            groups, j = [], 0
+            while f"{p}_tg{j}_pos_{s}" in src:
+                groups.append(TransposeGraph(src[f"{p}_tg{j}_pos_{s}"],
+                                             src[f"{p}_tg{j}_q_{s}"],
+                                             src[f"{p}_tg{j}_mask_{s}"]))
+                j += 1
+            return GroupedTransposeGraph(tuple(groups), src[f"{p}_tinv_{s}"])
         key = f"{p}_tpos_{s}"
         if key not in src:
             return None
@@ -482,17 +507,31 @@ def bucketize_vx_splits(built: List[VxSplitGraphs], q_lat: int,
                                       with_transpose=with_transpose)
         if bb is None:
             return None
+        gt = None
+        if bb.tgraph is not None and grouped_df_enabled():
+            # Group jointly over all splits (shared static group shapes →
+            # train/val/test batches compile to the same programs).
+            gt = degree_group_tgraph(bb.tgraph)
         outs, off = [], 0
         for g in stacks:
             s = g.indices.shape[0]
             sl = slice(off, off + s)
+            if gt is not None:
+                tg_s = GroupedTransposeGraph(
+                    tuple(gg._replace(edge_pos=gg.edge_pos[sl],
+                                      query=gg.query[sl], mask=gg.mask[sl])
+                          for gg in gt.groups), gt.inv_perm[sl])
+            elif bb.tgraph is not None:
+                tg_s = bb.tgraph._replace(
+                    edge_pos=bb.tgraph.edge_pos[sl],
+                    query=bb.tgraph.query[sl],
+                    mask=bb.tgraph.mask[sl])
+            else:
+                tg_s = None
             outs.append(bb._replace(
                 buckets=tuple(PaddedGraph(b.indices[sl], b.mask[sl])
                               for b in bb.buckets),
-                tgraph=(bb.tgraph._replace(
-                    edge_pos=bb.tgraph.edge_pos[sl],
-                    query=bb.tgraph.query[sl],
-                    mask=bb.tgraph.mask[sl]) if bb.tgraph is not None else None),
+                tgraph=tg_s,
                 perm=bb.perm[sl], inv_perm=bb.inv_perm[sl],
                 row_valid=bb.row_valid[sl]))
             off += s
@@ -526,15 +565,34 @@ def attach_transpose_graphs(built: List[VxSplitGraphs], q_lat: int,
         n_pad_g = g.coords.shape[1]
         g.encoder_t = [tg_or_none(e, n_pad_g) for e in g.encoder]
         g.decoder_t = [tg_or_none(d, q_lat) for d in g.decoder]
+    def unify_and_group(side):
+        stacks = [getattr(g, side)[si] for g in built]
+        if stacks[0] is None:
+            return
+        kt = max(t.kt for t in stacks)
+        stacks = [repad_tgraph(t, kt) for t in stacks]
+        if grouped_df_enabled():
+            cat = TransposeGraph(
+                np.concatenate([t.edge_pos for t in stacks], axis=0),
+                np.concatenate([t.query for t in stacks], axis=0),
+                np.concatenate([t.mask for t in stacks], axis=0))
+            gt = degree_group_tgraph(cat)
+            off = 0
+            for g, t in zip(built, stacks):
+                n = t.edge_pos.shape[0]
+                sl = slice(off, off + n)
+                getattr(g, side)[si] = GroupedTransposeGraph(
+                    tuple(gg._replace(edge_pos=gg.edge_pos[sl],
+                                      query=gg.query[sl], mask=gg.mask[sl])
+                          for gg in gt.groups), gt.inv_perm[sl])
+                off += n
+        else:
+            for g, t in zip(built, stacks):
+                getattr(g, side)[si] = t
+
     for si in range(num_scales):
-        if built[0].encoder_t[si] is not None:
-            kt_enc = max(g.encoder_t[si].kt for g in built)
-            for g in built:
-                g.encoder_t[si] = repad_tgraph(g.encoder_t[si], kt_enc)
-        if built[0].decoder_t[si] is not None:
-            kt_dec = max(g.decoder_t[si].kt for g in built)
-            for g in built:
-                g.decoder_t[si] = repad_tgraph(g.decoder_t[si], kt_dec)
+        unify_and_group("encoder_t")
+        unify_and_group("decoder_t")
     for g in built:
         if all(t is None for t in g.encoder_t):
             g.encoder_t = None

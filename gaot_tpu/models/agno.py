@@ -235,8 +235,7 @@ class AGNO(nn.Module):
         # fuses into the MLP's output fusion instead.
         scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
         coef = coef * scale[..., None].astype(coef.dtype)
-        return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph.edge_pos,
-                                         tgraph.query, tgraph.mask,
+        return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph,
                                          num_samples)
 
     @staticmethod

@@ -30,6 +30,7 @@ from ..ops.gather_apply import unpermute_rows
 from ..ops.padding import (
     BatchedBucketedGraph,
     BucketedGraph,
+    GroupedTransposeGraph,
     PaddedGraph,
     TransposeGraph,
 )
@@ -113,7 +114,12 @@ def flatten_vx_bucketed(bb: BatchedBucketedGraph,
                                    g.mask.reshape(-1, k)))
 
     tg = None
-    if bb.tgraph is not None:
+    if isinstance(bb.tgraph, GroupedTransposeGraph):
+        # Degree-grouped per-sample tgraph (ops/padding.py): already stores
+        # per-sample-LOCAL concat ids — the grouped d_f scan consumes it
+        # stacked, so no flattening/remap at all.
+        tg = bb.tgraph
+    elif bb.tgraph is not None:
         kt = bb.tgraph.edge_pos.shape[-1]
         ep = remap(bb.tgraph.edge_pos, e_base, sizes_e, sizes_e)
         tg = TransposeGraph(
@@ -341,8 +347,14 @@ class MAGNOEncoder(_MAGNOBase):
                     flat_t = None
                 else:
                     flat = flatten_vx_graph(graph, n)
-                    flat_t = (flatten_vx_tgraph(tg, q, graph.k)
-                              if tg is not None else None)
+                    if isinstance(tg, GroupedTransposeGraph):
+                        # Grouped tgraphs serve the linear K-major custom-VJP
+                        # path only (the generic Q-major path needs the flat
+                        # layout; nonlinear configs fall back to autodiff).
+                        flat_t = tg if cfg.transform_type == "linear" else None
+                    else:
+                        flat_t = (flatten_vx_tgraph(tg, q, graph.k)
+                                  if tg is not None else None)
                 enc = self._agno_scale(src_coords, dst_coords, f_src, flat,
                                        training, num_samples=batch,
                                        tgraph=flat_t)
@@ -398,8 +410,12 @@ class MAGNODecoder(_MAGNOBase):
                     flat_t = None
                 else:
                     flat = flatten_vx_graph(graph, q)
-                    flat_t = (flatten_vx_tgraph(tg, m, graph.k)
-                              if tg is not None else None)
+                    if isinstance(tg, GroupedTransposeGraph):
+                        flat_t = (tg if self.config.transform_type == "linear"
+                                  else None)
+                    else:
+                        flat_t = (flatten_vx_tgraph(tg, m, graph.k)
+                                  if tg is not None else None)
                 dec = self._agno_scale(src_coords, dst_coords, f_src, flat,
                                        training, num_samples=batch,
                                        tgraph=flat_t)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .padding import TransposeGraph
+from .padding import GroupedTransposeGraph, TransposeGraph
 
 
 def _scan_unroll():
@@ -112,10 +112,9 @@ def _bwd(num_samples, res, dout):
 gather_multiply_reduce.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gather_multiply_reduce_km(coef_km: jnp.ndarray, f: jnp.ndarray,
-                              idx_t: jnp.ndarray, edge_pos: jnp.ndarray,
-                              tquery: jnp.ndarray, tmask: jnp.ndarray,
+                              idx_t: jnp.ndarray, tgraph,
                               num_samples: int = 1) -> jnp.ndarray:
     """K-major flat gather-multiply-reduce: coef_km [K, Q, C], f [N, C],
     idx_t [K, Q]. Returns [Q, C].
@@ -124,33 +123,87 @@ def gather_multiply_reduce_km(coef_km: jnp.ndarray, f: jnp.ndarray,
     (kernel MLP, attention, masks) runs K-major end to end, so the forward
     needs NO swapaxes into the Pallas reduce and d_coef comes back in the
     producer's layout — the Q-major flat path paid ~4 ms/step of [·, K, C]
-    layout copies on the airfoil decoder."""
-    return _km_fwd(coef_km, f, idx_t, edge_pos, tquery, tmask, num_samples)[0]
+    layout copies on the airfoil decoder.
+
+    tgraph: TransposeGraph (flat, per-sample-offset ids as produced by
+    models/magno.py::flatten_vx_tgraph) or GroupedTransposeGraph (stacked
+    per-sample in-degree groups, ops/padding.py::degree_group_tgraph) —
+    the grouped form drops the masked padding rows from the d_f backward
+    gathers (device-measured 8.26 → 3.89 ms on the airfoil decoder)."""
+    return _km_fwd(coef_km, f, idx_t, tgraph, num_samples)[0]
 
 
-def _km_fwd(coef_km, f, idx_t, edge_pos, tquery, tmask, num_samples=1):
+def _km_fwd(coef_km, f, idx_t, tgraph, num_samples=1):
     gath_km = _bulk_gather(f, idx_t)                  # [K, Q, C]
     out = _mulred_k_dispatch(coef_km, gath_km, 1)
-    return out, (coef_km, gath_km, edge_pos, tquery, tmask)
+    return out, (coef_km, gath_km, tgraph)
 
 
 def _km_bwd(num_samples, res, dout):
-    coef_km, gath_km, edge_pos, tquery, tmask = res
+    coef_km, gath_km, tgraph = res
     f_dtype = gath_km.dtype
-    c = coef_km.shape[-1]
+    k, q, c = coef_km.shape
     dout = dout.astype(f_dtype)
     d_coef = _mulred_b_dispatch(gath_km, dout, 1, c).astype(coef_km.dtype)
     # The transpose-graph d_f path numbers edges q·K+k, so one swap copy
     # re-materializes coef edge-flat for the gathers (the Q-major path pays
     # this same copy in the forward instead).
     coef_flat = jnp.swapaxes(coef_km.astype(f_dtype), 0, 1).reshape(-1, c)
-    d_f = _flat_df(coef_flat, dout, edge_pos, tquery, tmask, num_samples)
+    if isinstance(tgraph, GroupedTransposeGraph):
+        qs = q // num_samples
+        d_f = _grouped_df_scan(
+            (coef_flat.reshape(num_samples, qs * k, c),),
+            (dout.reshape(num_samples, qs, c),), tgraph)
+    else:
+        d_f = _flat_df(coef_flat, dout, tgraph.edge_pos, tgraph.query,
+                       tgraph.mask, num_samples)
     zeros_i = lambda x: jnp.zeros_like(x)
     return (d_coef, d_f, zeros_i(coef_km[..., 0]).astype(jnp.int32),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+            jax.tree.map(zeros_i, tgraph))
 
 
 gather_multiply_reduce_km.defvjp(_km_fwd, _km_bwd)
+
+
+def _grouped_df_scan(coef_xs, dout_xs, grouped: GroupedTransposeGraph):
+    """d_f over an in-degree-grouped per-sample transpose graph.
+
+    coef_xs / dout_xs: tuples of [S, ·, C] per-sample slab parts (one part
+    for the flat layout; one per bucket for the bucketed layout, whose
+    concat is the per-sample coef/row slab). grouped: stacked per-sample
+    groups with LOCAL ids into those slabs. Per sample: per-group row
+    gathers (only ~the real in-degree rows, not the padded Kt — the win)
+    with the multiply-reduce left to XLA, which fuses it into the gather
+    consumers; device-measured faster than per-group Pallas reduce calls
+    (3.89 vs 4.27 ms on the decoder flagship). Returns [S·N, C] in
+    original row order (inv_perm gather, itself a row gather)."""
+    c = coef_xs[0].shape[-1]
+    b = grouped.inv_perm.shape[0]
+    n = grouped.inv_perm.shape[1]
+    es = sum(x.shape[1] for x in coef_xs)
+    qs = sum(x.shape[1] for x in dout_xs)
+    f_dtype = dout_xs[0].dtype
+
+    gs = tuple((g.edge_pos, g.query, g.mask) for g in grouped.groups)
+
+    def body(_, args):
+        cxs, dxs, gsi = args
+        slab = cxs[0] if len(cxs) == 1 else jnp.concatenate(list(cxs), 0)
+        drows = dxs[0] if len(dxs) == 1 else jnp.concatenate(list(dxs), 0)
+        parts = []
+        for ep_g, tq_g, tm_g in gsi:
+            cg = jnp.where(tm_g.T[..., None],
+                           _bulk_gather(slab, jnp.clip(ep_g, 0, es - 1).T), 0)
+            dg = _bulk_gather(drows, jnp.clip(tq_g, 0, qs - 1).T)
+            parts.append((cg.astype(jnp.float32) * dg.astype(jnp.float32))
+                         .sum(0).astype(f_dtype))
+        return None, jnp.concatenate(parts, axis=0)
+
+    _, df = jax.lax.scan(body, None, (coef_xs, dout_xs, gs),
+                         unroll=_scan_unroll())
+    inv = grouped.inv_perm + (jnp.arange(b, dtype=grouped.inv_perm.dtype)
+                              * n)[:, None]
+    return jnp.take(df.reshape(b * n, c), inv.reshape(-1), axis=0)
 
 
 def _bulk_gather(f2d, indices):
@@ -345,16 +398,18 @@ def _mulred_b_dispatch(gath_km: jnp.ndarray, dout2: jnp.ndarray,
     return jnp.einsum("kqbc,qbc->kqc", gath, dout2.reshape(qx, b, c))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
-                                    tmask, num_samples: int = 1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bucketed_gather_multiply_reduce(coefs, f, indices, tgraph,
+                                    num_samples: int = 1):
     """Gather-multiply-reduce over a degree-bucketed graph, node-leading.
 
     coefs: per-bucket [Qb, Kb, C] shared coefficients (padded edges zeroed);
-    f: [N, B, C]; indices: per-bucket [Qb, Kb]; edge_pos/tquery/tmask: the
-    combined transpose graph in bucket-concatenated edge/row space
-    (ops/padding.py::transpose_bucket_edges). Returns [R, B, C] with
-    R = Σ Qb.
+    f: [N, B, C]; indices: per-bucket [Qb, Kb]; tgraph: the combined
+    transpose graph in bucket-concatenated edge/row space — a flat
+    TransposeGraph (ops/padding.py::transpose_bucket_edges) or, for the
+    vx layout, a GroupedTransposeGraph of stacked per-sample in-degree
+    groups with per-sample-local concat ids (degree_group_tgraph).
+    Returns [R, B, C] with R = Σ Qb.
 
     The forward and d_coef gathers run per bucket — each moves only that
     bucket's K columns, which is where the degree-bucketing win lives. d_f
@@ -362,11 +417,10 @@ def bucketed_gather_multiply_reduce(coefs, f, indices, edge_pos, tquery,
     the dense layout's (per-bucket transposes would instead accumulate a
     full [N, B·C] d_f per bucket, which erases the win — measured on v5e).
     """
-    return _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask,
-                         num_samples)[0]
+    return _bucketed_fwd(coefs, f, indices, tgraph, num_samples)[0]
 
 
-def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask, num_samples=1):
+def _bucketed_fwd(coefs, f, indices, tgraph, num_samples=1):
     """Forward saving the per-bucket gathered rows for d_coef (see _nbc_fwd)."""
     n, b, c = f.shape
     f2d = f.reshape(n, b * c)
@@ -376,12 +430,15 @@ def _bucketed_fwd(coefs, f, indices, edge_pos, tquery, tmask, num_samples=1):
         gaths.append(gath_km)
         outs.append(_mulred_k_dispatch(jnp.swapaxes(coef, 0, 1), gath_km, b))
     out = jnp.concatenate(outs, axis=0).reshape(-1, b, c)
-    return out, (coefs, tuple(gaths), edge_pos, tquery, tmask)
+    return out, (coefs, tuple(gaths), tgraph)
 
 
 def _bucketed_bwd(num_samples, res, dout):
-    coefs, gaths, edge_pos, tquery, tmask = res
-    n = tmask.shape[0]
+    coefs, gaths, tgraph = res
+    if isinstance(tgraph, GroupedTransposeGraph):
+        n = tgraph.inv_perm.shape[0] * tgraph.inv_perm.shape[1]
+    else:
+        n = tgraph.mask.shape[0]
     c = coefs[0].shape[-1]
     b = gaths[0].shape[-1] // c
     w = b * c
@@ -397,19 +454,32 @@ def _bucketed_bwd(num_samples, res, dout):
             0, 1).astype(coef.dtype))
         off += qb
 
-    d_f = _bucketed_df(coefs, dout2, edge_pos, tquery, tmask, num_samples,
+    d_f = _bucketed_df(coefs, dout2, tgraph, num_samples,
                        b, c).reshape(n, b, c)
     zeros_i = lambda x: jnp.zeros_like(x)
     return (tuple(d_coefs), d_f,
             tuple(jnp.zeros(cf.shape[:2], jnp.int32) for cf in coefs),
-            zeros_i(edge_pos), zeros_i(tquery), zeros_i(tmask))
+            jax.tree.map(zeros_i, tgraph))
 
 
-def _bucketed_df(coefs, dout2, edge_pos, tquery, tmask, num_samples, b, c):
-    """Combined d_f over the bucket-concatenated transpose graph — shared by
-    the XLA-coef and fused-kernel bucketed VJPs. coefs: per-bucket
-    [Qb, Kb, C]; dout2: [R, b·C]. Returns [N, b·C]-shaped rows."""
+def _bucketed_df(coefs, dout2, tgraph, num_samples, b, c):
+    """Combined d_f over the bucket-concatenated transpose graph.
+    coefs: per-bucket [Qb, Kb, C]; dout2: [R, b·C]. Returns [N, b·C] rows."""
     f_dtype = dout2.dtype
+    if isinstance(tgraph, GroupedTransposeGraph):
+        # vx grouped layout: per-sample per-bucket slabs feed the grouped
+        # scan directly (local concat ids — no global un-remap needed).
+        assert b == 1, "grouped bucketed d_f is a vx-flattened (b==1) layout"
+        s_n = num_samples
+        rs = [cf.shape[0] // s_n for cf in coefs]
+        coef_xs = tuple(cf.astype(f_dtype).reshape(
+            s_n, rs[j] * cf.shape[1], c) for j, cf in enumerate(coefs))
+        r_base = np.concatenate([[0], np.cumsum(rs)]).astype(np.int64)
+        dout_xs = tuple(
+            dout2[s_n * int(r_base[j]):s_n * int(r_base[j + 1])]
+            .reshape(s_n, rs[j], c) for j in range(len(rs)))
+        return _grouped_df_scan(coef_xs, dout_xs, tgraph).astype(f_dtype)
+    edge_pos, tquery, tmask = tgraph.edge_pos, tgraph.query, tgraph.mask
     n = tmask.shape[0]
     scannable = (num_samples > 1 and b == 1
                  and n % num_samples == 0
@@ -495,13 +565,11 @@ def apply_bucketed_graph_transform(coefs, f, bg,
     if f.ndim == 2:
         out = bucketed_gather_multiply_reduce(
             tuple(coefs), f[:, None, :],
-            tuple(g.indices for g in bg.buckets),
-            bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
+            tuple(g.indices for g in bg.buckets), bg.tgraph, num_samples)
         return out[:, 0, :]
     out = bucketed_gather_multiply_reduce(
         tuple(coefs), jnp.swapaxes(f, 0, 1),
-        tuple(g.indices for g in bg.buckets),
-        bg.tgraph.edge_pos, bg.tgraph.query, bg.tgraph.mask, num_samples)
+        tuple(g.indices for g in bg.buckets), bg.tgraph, num_samples)
     return jnp.swapaxes(out, 0, 1)
 
 

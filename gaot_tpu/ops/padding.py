@@ -182,6 +182,85 @@ def transpose_graph(graph: PaddedGraph, num_sources: int,
                           mask=padded.mask)
 
 
+class GroupedTransposeGraph(NamedTuple):
+    """A stacked per-sample TransposeGraph re-packed into in-degree groups.
+
+    The d_f backward gathers one row per transpose slot and is descriptor-
+    rate bound (~1 row/cycle on v5e), but in-degree is heavy-tailed: the
+    airfoil-flagship decoder transpose graph fills only 28% of its
+    [4096, 24] padding (mean in-degree 6.8), so ~3.5× of the backward
+    gather rows were masked padding. Rows (source nodes) are sorted by
+    in-degree per sample, the rank space is cut at shared static
+    boundaries, and each group is padded only to its own max degree —
+    device-measured on the decoder d_f: 8.26 → 3.89 ms/step (2.1×).
+
+    groups:   per-group stacked TransposeGraphs [B, R_j, Ktj] in ascending
+              degree order, rows degree-sorted PER SAMPLE, indices kept
+              per-sample LOCAL (edge_pos = q·K + k within the sample,
+              query = per-sample query id);
+    inv_perm: int32 [B, S] — original row r of sample b sits at grouped
+              (concatenated) position inv_perm[b, r].
+    """
+
+    groups: Tuple[TransposeGraph, ...]
+    inv_perm: np.ndarray
+
+
+def _group_boundaries(deg_sorted_max: np.ndarray, max_groups: int = 4,
+                      grid: int = 64, pad: int = 8):
+    """Rank-space boundaries minimizing total padded rows gathered.
+
+    deg_sorted_max: [S] — max over samples of the per-rank degree after the
+    per-sample ascending sort (monotone). DP over a coarse grid: cost of
+    group [lo, hi) = (hi − lo) · deg_sorted_max[hi − 1]."""
+    s = deg_sorted_max.shape[0]
+    grid = max(pad, min(grid, -(-s // 16) // pad * pad or pad))
+    pts = sorted({0, s, *(min(s, g * grid) for g in range(1, s // grid + 2))})
+    pts = [p for p in pts if p == 0 or p == s or p % pad == 0]
+    best = {0: (0.0, [0])}
+    for _ in range(max_groups):
+        nxt = {}
+        for lo, (cost, path) in best.items():
+            for hi in pts:
+                if hi <= lo:
+                    continue
+                c = cost + (hi - lo) * int(deg_sorted_max[hi - 1])
+                if hi not in nxt or c < nxt[hi][0]:
+                    nxt[hi] = (c, path + [hi])
+        for k, v in nxt.items():
+            if k not in best or v[0] < best[k][0]:
+                best[k] = v
+    return best[s][1]
+
+
+def degree_group_tgraph(tgraph: TransposeGraph,
+                        max_groups: int = 4) -> GroupedTransposeGraph:
+    """Degree-group a STACKED per-sample transpose graph [B, S, Kt].
+
+    Shapes are shared across samples (one program for every batch), so the
+    boundaries come from the rank-space degree envelope over all samples
+    and each group's Ktj is the max degree any sample reaches inside it."""
+    ep, tq, tm = (np.asarray(tgraph.edge_pos), np.asarray(tgraph.query),
+                  np.asarray(tgraph.mask))
+    b, s, kt = tm.shape
+    deg = tm.sum(-1)
+    perm = np.argsort(deg, axis=1, kind="stable")
+    inv_perm = np.argsort(perm, axis=1).astype(np.int32)
+    deg_sorted = np.take_along_axis(deg, perm, axis=1)
+    bounds = _group_boundaries(deg_sorted.max(0), max_groups=max_groups)
+    ep_p = np.take_along_axis(ep, perm[:, :, None], axis=1)
+    tq_p = np.take_along_axis(tq, perm[:, :, None], axis=1)
+    tm_p = np.take_along_axis(tm, perm[:, :, None], axis=1)
+    groups = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        kg = max(1, int(deg_sorted[:, lo:hi].max()))
+        groups.append(TransposeGraph(
+            np.ascontiguousarray(ep_p[:, lo:hi, :kg]),
+            np.ascontiguousarray(tq_p[:, lo:hi, :kg]),
+            np.ascontiguousarray(tm_p[:, lo:hi, :kg])))
+    return GroupedTransposeGraph(tuple(groups), inv_perm)
+
+
 def repad_tgraph(tgraph: TransposeGraph, kt: int) -> TransposeGraph:
     """Re-pad (or truncate) a transpose graph to an exact Kt."""
     old = tgraph.edge_pos.shape[-1]

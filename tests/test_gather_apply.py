@@ -220,3 +220,106 @@ def test_nbc_pallas_consumer_integration_matches_einsum(monkeypatch):
     valid = g.mask[..., None]
     np.testing.assert_allclose(np.asarray(gc) * valid, np.asarray(gc_ref) * valid,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_km_matches_flat():
+    """gather_multiply_reduce_km with an in-degree-grouped tgraph
+    (ops/padding.py::degree_group_tgraph) must match the flat tgraph in
+    value and grads — the grouping only drops masked padding rows from the
+    backward gathers."""
+    from gaot_tpu.models.magno import flatten_vx_graph, flatten_vx_tgraph
+    from gaot_tpu.ops.gather_apply import gather_multiply_reduce_km
+    from gaot_tpu.ops.padding import (degree_group_tgraph, repad,
+                                      repad_tgraph, stack_graphs)
+
+    rng = np.random.default_rng(3)
+    b, n, q, c = 4, 40, 16, 8
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (q, 2))
+    gs = [pad_csr(*radius_search(srcs[i], dst, 0.5), pad_multiple=4)
+          for i in range(b)]
+    k = max(g.k for g in gs)
+    gs = [repad(g, k) for g in gs]
+    ts = [transpose_graph(g, n) for g in gs]
+    kt = max(t.edge_pos.shape[-1] for t in ts)
+    ts = [repad_tgraph(t, kt) for t in ts]
+    stacked = stack_graphs(gs)
+    t_st = type(ts[0])(np.stack([t.edge_pos for t in ts]),
+                       np.stack([t.query for t in ts]),
+                       np.stack([t.mask for t in ts]))
+    grouped = degree_group_tgraph(t_st)
+    assert len(grouped.groups) >= 2
+    rows_flat = t_st.mask.shape[1] * t_st.mask.shape[2]
+    rows_grp = sum(g.mask.shape[1] * g.mask.shape[2] for g in grouped.groups)
+    assert rows_grp < rows_flat  # the padding actually shrank
+
+    flat_g = flatten_vx_graph(
+        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
+    flat_t = flatten_vx_tgraph(
+        type(ts[0])(jnp.asarray(t_st.edge_pos), jnp.asarray(t_st.query),
+                    jnp.asarray(t_st.mask)), q, k)
+    grouped_j = jax.tree.map(jnp.asarray, grouped)
+    idx_t = flat_g.indices.T
+    coef_km = jnp.asarray(rng.normal(size=(k, b * q, c)).astype(np.float32))
+    coef_km = coef_km * flat_g.mask.T[..., None]
+    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
+
+    def loss(tg):
+        return lambda cf, f: jnp.sum(gather_multiply_reduce_km(
+            cf, f, idx_t, tg, b) ** 2)
+
+    out_f = loss(flat_t)(coef_km, f)
+    out_g = loss(grouped_j)(coef_km, f)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_f), rtol=1e-6)
+    gc_f, gf_f = jax.grad(loss(flat_t), argnums=(0, 1))(coef_km, f)
+    gc_g, gf_g = jax.grad(loss(grouped_j), argnums=(0, 1))(coef_km, f)
+    np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc_g), np.asarray(gc_f),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_bucketed_matches_flat():
+    """The bucketed VJP with a grouped tgraph (vx-flattened layout) must
+    match the flat combined-tgraph path in value and grads."""
+    from gaot_tpu.models.magno import flatten_vx_bucketed
+    from gaot_tpu.ops.gather_apply import bucketed_gather_multiply_reduce
+    from gaot_tpu.ops.padding import (GroupedTransposeGraph,
+                                      bucketize_graphs_stacked,
+                                      degree_group_tgraph)
+    from tests.test_vx_bucketing import _random_stacked_graph
+
+    rng = np.random.default_rng(11)
+    s, n, q, k = 3, 40, 32, 16
+    graph = _random_stacked_graph(rng, s, q, n, k)
+    bb = bucketize_graphs_stacked(graph, num_sources=n, tile=4, min_k=4,
+                                  launch_penalty_rows=8)
+    assert bb is not None and len(bb.buckets) > 1
+    gt = degree_group_tgraph(bb.tgraph)
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    flat = flatten_vx_bucketed(to_j(bb), n)
+    flat_g = flatten_vx_bucketed(to_j(bb._replace(tgraph=gt)), n)
+    assert isinstance(flat_g.tgraph, GroupedTransposeGraph)
+
+    coefs = []
+    for g in flat.buckets:
+        qb, kb = g.indices.shape
+        cf = rng.normal(size=(qb, kb, 4)).astype(np.float32)
+        coefs.append(jnp.asarray(cf) * g.mask[..., None])
+    f = jnp.asarray(rng.normal(size=(s * n, 1, 4)).astype(np.float32))
+
+    def loss(tg):
+        return lambda cfs, f: jnp.sum(bucketed_gather_multiply_reduce(
+            tuple(cfs), f, tuple(g.indices for g in flat.buckets),
+            tg, s) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(flat_g.tgraph)(coefs, f)),
+        np.asarray(loss(flat.tgraph)(coefs, f)), rtol=1e-6)
+    gq = jax.grad(loss(flat.tgraph), argnums=(0, 1))(coefs, f)
+    gg = jax.grad(loss(flat_g.tgraph), argnums=(0, 1))(coefs, f)
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gq[1]),
+                               rtol=1e-4, atol=1e-5)
+    for cq, cg_ in zip(gq[0], gg[0]):
+        np.testing.assert_allclose(np.asarray(cg_), np.asarray(cq),
+                                   rtol=1e-4, atol=1e-5)
