@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,7 +30,21 @@ from ..ops.gather_apply import (
     apply_bucketed_graph_transform,
     apply_graph_transform,
     gather_multiply_reduce_km,
+    gather_rows_tg,
+    pack_f32_cols,
+    unpack_f32_cols,
 )
+
+
+def aug_gather_on() -> bool:
+    """Coordinate-augmented feature gather on the flat K-major route: pack
+    the fp32 source coordinates into the f row gather (exact bitcast) so
+    the kernel/geoembed coordinate rows come for free, and run the d_f
+    backward as gather_rows_tg's single-gather segment sum. Coordinate
+    gathers were ~34% of all vx gather descriptors
+    (scripts/vx_descriptor_bound.py). Trace-time gate: GAOT_AUG_GATHER=0
+    restores the separate-gather route (ablate/diagnostic)."""
+    return os.environ.get("GAOT_AUG_GATHER", "1") == "1"
 
 from ..ops.padding import BucketedGraph, PaddedGraph, TransposeGraph
 from ..ops.segment_ops import masked_mean, masked_softmax, masked_sum
@@ -85,7 +100,8 @@ class AGNO(nn.Module):
                  weights: Optional[jnp.ndarray] = None,
                  tgraph: Optional[TransposeGraph] = None,
                  num_samples: int = 1,
-                 rep_coords: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 rep_coords: Optional[jnp.ndarray] = None,
+                 return_rep: bool = False) -> jnp.ndarray:
         """Compute the attentional integral transform.
 
         Args:
@@ -96,9 +112,13 @@ class AGNO(nn.Module):
             weights: [n] quadrature weights, or None.
             tgraph: optional transpose graph — switches the k·f reduction to
                 the scatter-free custom-VJP path (ops/gather_apply.py).
+            return_rep: flat K-major aug route only — also return the fp32
+                [K, Q, d1] coordinate rows recovered from the augmented
+                gather, so geoembed reuses them instead of re-gathering.
 
         Returns:
-            [batch, m, c_out] (batched f_y) or [m, c_out].
+            [batch, m, c_out] (batched f_y) or [m, c_out];
+            (out, rep) when return_rep.
         """
         if x is None:
             x = y
@@ -112,7 +132,10 @@ class AGNO(nn.Module):
         if (tgraph is not None and f_y is not None and f_y.ndim == 2
                 and self.transform_type == "linear"):
             return self._call_flat_km(y, graph, x, f_y, weights, tgraph,
-                                      num_samples, rep_coords)
+                                      num_samples, rep_coords,
+                                      return_rep=return_rep)
+        if return_rep:
+            raise ValueError("return_rep requires the flat K-major route")
         indices, mask = graph.indices, graph.mask
 
         if rep_coords is None:
@@ -204,7 +227,8 @@ class AGNO(nn.Module):
                       x: jnp.ndarray, f_y: jnp.ndarray,
                       weights: Optional[jnp.ndarray],
                       tgraph: TransposeGraph, num_samples: int,
-                      rep_km: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      rep_km: Optional[jnp.ndarray] = None,
+                      return_rep: bool = False) -> jnp.ndarray:
         """K-major flat transform: every per-edge tensor is [K, Q, ·], the
         softmax/mask reduce over axis 0 with Q in the vector lanes, and the
         coef feeds ops/gather_apply.py::gather_multiply_reduce_km directly."""
@@ -212,9 +236,27 @@ class AGNO(nn.Module):
 
         idx_t = graph.indices.T                                  # [K, Q]
         mask_t = graph.mask.T
-        record_route("agno", "xla-kmajor")
-        if rep_km is None:
-            rep_km = y[idx_t]                                    # [K, Q, d1]
+        c_f = f_y.shape[-1]
+        d1 = y.shape[-1]
+        gath = None
+        use_aug = rep_km is None and aug_gather_on()
+        if use_aug:
+            # ONE augmented row gather [f ‖ packed coords] replaces the
+            # separate f and coordinate gathers (aug_gather_on docstring);
+            # the backward runs as gather_rows_tg's single-gather segment
+            # sum. Coordinates come back bitcast-exact fp32; stop_gradient
+            # because coords are data (and bitcast has no VJP).
+            record_route("agno", "xla-kmajor-aug")
+            f_aug = jnp.concatenate(
+                [f_y, pack_f32_cols(y.astype(jnp.float32), f_y.dtype)], -1)
+            gath_aug = gather_rows_tg(f_aug, idx_t, tgraph, num_samples)
+            gath = gath_aug[..., :c_f]
+            rep_km = jax.lax.stop_gradient(
+                unpack_f32_cols(gath_aug[..., c_f:], d1))        # [K, Q, d1]
+        else:
+            record_route("agno", "xla-kmajor")
+            if rep_km is None:
+                rep_km = y[idx_t]                                # [K, Q, d1]
         self_c = x[None, :, :]                                   # [1, Q, d2]
 
         attention = None
@@ -235,6 +277,18 @@ class AGNO(nn.Module):
         # fuses into the MLP's output fusion instead.
         scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
         coef = coef * scale[..., None].astype(coef.dtype)
+        if use_aug:
+            # Multiply-reduce left to XLA: fuses the f-slice of the
+            # augmented gather and the coef product into one fusion (a
+            # Pallas operand would force the 134 MB slice to materialize),
+            # and its autodiff forms d_gath = coef·dout elementwise — no
+            # second backward gather.
+            out = (coef.astype(jnp.float32)
+                   * gath.astype(jnp.float32)).sum(0).astype(f_y.dtype)
+            return (out, rep_km) if return_rep else out
+        if return_rep:
+            raise ValueError("return_rep requires the aug gather route "
+                             "(GAOT_AUG_GATHER)")
         return gather_multiply_reduce_km(coef, f_y, idx_t, tgraph,
                                          num_samples)
 

@@ -34,7 +34,7 @@ from ..ops.padding import (
     PaddedGraph,
     TransposeGraph,
 )
-from .agno import AGNO
+from .agno import AGNO, aug_gather_on
 from .gemb import GeometricEmbedding, node_pos_encode
 from .mlp import ChannelMLP, ScaleWeightMLP
 
@@ -227,14 +227,22 @@ class _MAGNOBase(nn.Module):
         kmajor = (f_src is not None and f_src.ndim == 2 and tgraph is not None
                   and cfg.transform_type == "linear"
                   and not cfg.node_embedding)
+        # The flat K-major aug route recovers the fp32 coordinate rows from
+        # its own augmented gather — ask for them (return_rep) instead of
+        # issuing the separate [E, d] gather here.
+        aug = kmajor and aug_gather_on()
         rep = None
-        if cfg.use_geoembed and not cfg.node_embedding:
-            rep = (src_coords[graph.indices.T] if kmajor
-                   else src_coords[graph.indices])
-
-        out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
-                        tgraph=tgraph, num_samples=num_samples,
-                        rep_coords=rep)
+        if aug and cfg.use_geoembed:
+            out, rep = self.agno(y=src_proc, graph=graph, x=dst_proc,
+                                 f_y=f_src, tgraph=tgraph,
+                                 num_samples=num_samples, return_rep=True)
+        else:
+            if cfg.use_geoembed and not cfg.node_embedding and not aug:
+                rep = (src_coords[graph.indices.T] if kmajor
+                       else src_coords[graph.indices])
+            out = self.agno(y=src_proc, graph=graph, x=dst_proc, f_y=f_src,
+                            tgraph=tgraph, num_samples=num_samples,
+                            rep_coords=rep)
 
         if cfg.use_geoembed:
             gemb = self.geoembed(src_coords, dst_coords, graph, num_samples,

@@ -165,6 +165,98 @@ def _km_bwd(num_samples, res, dout):
 gather_multiply_reduce_km.defvjp(_km_fwd, _km_bwd)
 
 
+def pack_f32_cols(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Bitcast-pack fp32 columns into a dtype-compatible 2D payload.
+
+    f32 [N, d] → bf16 [N, 2d] (exact: bitcast roundtrip is lossless), or a
+    no-op for f32 compute. Lets full-precision coordinates ride inside a
+    bf16 feature gather — the vx coordinate gathers are ~34% of all gather
+    descriptors (scripts/vx_descriptor_bound.py) and rows are lane-padded
+    to 128 anyway, so the extra packed columns are free."""
+    if x.dtype == dtype:
+        return x
+    assert x.dtype == jnp.float32 and dtype == jnp.bfloat16
+    return jax.lax.bitcast_convert_type(x, jnp.bfloat16).reshape(
+        *x.shape[:-1], 2 * x.shape[-1])
+
+
+def unpack_f32_cols(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_f32_cols`: [..., 2d] bf16 → [..., d] f32
+    (or slice-through for f32). Wrapped in stop_gradient by callers —
+    coordinates are data, and bitcast_convert_type has no VJP."""
+    if x.shape[-1] == d:
+        return x
+    return jax.lax.bitcast_convert_type(
+        x.reshape(*x.shape[:-1], d, 2), jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_rows_tg(f2d: jnp.ndarray, idx_t: jnp.ndarray, tgraph,
+                   num_samples: int = 1) -> jnp.ndarray:
+    """Row gather whose backward is a transpose-graph segment sum.
+
+    f2d: [N, W]; idx_t: [K, Q]. Returns [K, Q, W]. Plain autodiff of a
+    gather emits a scatter-add for d_f; here d_f[n] = Σ_{(k,q): idx[k,q]=n}
+    d_gath[k,q] runs as ONE masked row-gather pass over the (grouped)
+    transpose graph — half the backward gather descriptors of the
+    gather-multiply-reduce VJPs, because the cotangent d_gath arrives
+    already edge-indexed (coef·dout is formed by XLA outside, fused), so
+    no second dout gather is needed."""
+    return _bulk_gather(f2d, idx_t)
+
+
+def _gather_rows_fwd(f2d, idx_t, tgraph, num_samples=1):
+    # dtype token rides as a 0-size array (residual leaves must be arrays)
+    return _bulk_gather(f2d, idx_t), (tgraph, jnp.zeros((0,), f2d.dtype))
+
+
+def _gather_rows_bwd(num_samples, res, d_gath):
+    tgraph, dtype_token = res
+    f_dtype = dtype_token.dtype
+    k, q, w = d_gath.shape
+    d_gath = d_gath.astype(f_dtype)
+    # Edge-flat q-major view (edge id q·K + k per sample) — same swap the
+    # gather-multiply-reduce VJPs pay.
+    d_flat = jnp.swapaxes(d_gath, 0, 1).reshape(-1, w)
+    if isinstance(tgraph, GroupedTransposeGraph):
+        qs = q // num_samples
+        d_f = _grouped_sum_scan(
+            d_flat.reshape(num_samples, qs * k, w), tgraph)
+    else:
+        cg = jnp.where(tgraph.mask.T[..., None],
+                       _bulk_gather(d_flat, tgraph.edge_pos.T), 0)
+        d_f = cg.astype(jnp.float32).sum(0).astype(f_dtype)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (d_f, jnp.zeros((k, q), jnp.int32), jax.tree.map(zeros_i, tgraph))
+
+
+gather_rows_tg.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _grouped_sum_scan(d3, grouped: GroupedTransposeGraph):
+    """Per-sample grouped transpose segment-sum: d3 [S, Es, W] per-sample
+    edge-flat cotangent slabs → [S·N, W] source-row sums (original row
+    order). The single-gather backward of :func:`gather_rows_tg`."""
+    s, es, w = d3.shape
+    n = grouped.inv_perm.shape[1]
+    f_dtype = d3.dtype
+    gs = tuple((g.edge_pos, g.mask) for g in grouped.groups)
+
+    def body(_, args):
+        slab, gsi = args
+        parts = []
+        for ep_g, tm_g in gsi:
+            cg = jnp.where(tm_g.T[..., None],
+                           _bulk_gather(slab, jnp.clip(ep_g, 0, es - 1).T), 0)
+            parts.append(cg.astype(jnp.float32).sum(0).astype(f_dtype))
+        return None, jnp.concatenate(parts, axis=0)
+
+    _, df = jax.lax.scan(body, None, (d3, gs), unroll=_scan_unroll())
+    inv = grouped.inv_perm + (jnp.arange(s, dtype=grouped.inv_perm.dtype)
+                              * n)[:, None]
+    return jnp.take(df.reshape(s * n, w), inv.reshape(-1), axis=0)
+
+
 def _grouped_df_scan(coef_xs, dout_xs, grouped: GroupedTransposeGraph):
     """d_f over an in-degree-grouped per-sample transpose graph.
 

@@ -156,3 +156,80 @@ def test_agno_no_function_transform_a():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+
+
+def test_aug_gather_route_matches_separate(monkeypatch):
+    """The coordinate-augmented gather route (GAOT_AUG_GATHER, flat K-major
+    vx path) must match the separate-gather route in outputs and parameter
+    gradients: the packed coords are bitcast-exact, and the single-gather
+    backward computes the same d_f/d_coef math."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaot_tpu.models.agno import AGNO
+    from gaot_tpu.models.magno import flatten_vx_graph, flatten_vx_tgraph
+    from gaot_tpu.ops.neighbor_search import radius_search
+    from gaot_tpu.ops.padding import (PaddedGraph, pad_csr, repad,
+                                      repad_tgraph, stack_graphs,
+                                      transpose_graph)
+
+    rng = np.random.default_rng(5)
+    b, n, q, c = 3, 30, 12, 8
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (b, q, 2))
+    gs = [pad_csr(*radius_search(srcs[i], dst[i], 0.6), pad_multiple=4)
+          for i in range(b)]
+    k = max(g.k for g in gs)
+    gs = [repad(g, k) for g in gs]
+    ts = [transpose_graph(g, n) for g in gs]
+    kt = max(t.edge_pos.shape[-1] for t in ts)
+    ts = [repad_tgraph(t, kt) for t in ts]
+    stacked = stack_graphs(gs)
+    t_st = type(ts[0])(jnp.asarray(np.stack([t.edge_pos for t in ts])),
+                       jnp.asarray(np.stack([t.query for t in ts])),
+                       jnp.asarray(np.stack([t.mask for t in ts])))
+    flat_g = flatten_vx_graph(
+        PaddedGraph(jnp.asarray(stacked.indices), jnp.asarray(stacked.mask)), n)
+    flat_t = flatten_vx_tgraph(t_st, q, k)
+    y = jnp.asarray(srcs.reshape(b * n, 2).astype(np.float32))
+    x = jnp.asarray(dst.reshape(b * q, 2).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
+
+    model = AGNO(channel_mlp_features=[16, c], transform_type="linear",
+                 use_attn=True, attention_type="cosine", coord_dim=2)
+    params = model.init(jax.random.key(0), y, flat_g, x=x, f_y=f,
+                        tgraph=flat_t, num_samples=b)
+
+    def run(aug):
+        monkeypatch.setenv("GAOT_AUG_GATHER", "1" if aug else "0")
+
+        def loss(p, f):
+            out = model.apply(p, y, flat_g, x=x, f_y=f, tgraph=flat_t,
+                              num_samples=b)
+            return jnp.sum(jnp.sin(out)), out
+
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                             has_aux=True)(params, f)
+        return out, grads
+
+    out_off, (gp_off, gf_off) = run(False)
+    out_on, (gp_on, gf_on) = run(True)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_on), np.asarray(gf_off),
+                               rtol=1e-4, atol=1e-6)
+    for a, bb_ in zip(jax.tree.leaves(gp_on), jax.tree.leaves(gp_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=1e-4, atol=1e-6)
+
+    # return_rep hands back the exact fp32 coordinate rows
+    os.environ["GAOT_AUG_GATHER"] = "1"
+    try:
+        out, rep = model.apply(params, y, flat_g, x=x, f_y=f, tgraph=flat_t,
+                               num_samples=b, return_rep=True)
+    finally:
+        os.environ.pop("GAOT_AUG_GATHER", None)
+    idx_t = np.asarray(flat_g.indices).T
+    np.testing.assert_array_equal(np.asarray(rep), np.asarray(y)[idx_t])
