@@ -30,6 +30,7 @@ from ..ops.gather_apply import (
     apply_bucketed_graph_transform,
     apply_graph_transform,
     gather_multiply_reduce_km,
+    gather_rows_bucketed_tg,
     gather_rows_tg,
     pack_f32_cols,
     unpack_f32_cols,
@@ -123,7 +124,8 @@ class AGNO(nn.Module):
         if x is None:
             x = y
         if isinstance(graph, BucketedGraph):
-            return self._call_bucketed(y, graph, x, f_y, weights, num_samples)
+            return self._call_bucketed(y, graph, x, f_y, weights, num_samples,
+                                       return_rep=return_rep)
 
         # K-major fast path for vx-flattened linear transforms: the coef
         # pipeline (kernel MLP, attention, masks) runs [K, Q, ·] end to end,
@@ -342,10 +344,56 @@ class AGNO(nn.Module):
         scale = jnp.where(mask, scale, 0)
         return coef * scale[..., None].astype(coef.dtype)
 
+    def _folded_coef_kmajor(self, rep, x_b, idx_t, mask_t, weights):
+        """K-major per-edge coefficient for one bucket: kernel MLP on the
+        pre-gathered [Kb, Qb, d] coordinate rows with the attention /
+        quadrature / mean / mask fold as one [Kb, Qb] scale."""
+        attention = None
+        if self.use_attn:
+            attention = self._attention_weights(
+                x_b[None, :, :self.coord_dim],
+                rep[..., :self.coord_dim], mask_t, axis=0)       # [Kb, Qb]
+        self_b = jnp.broadcast_to(x_b[None], rep.shape[:-1] + (x_b.shape[-1],))
+        agg = jnp.concatenate([rep, self_b], axis=-1)
+        coef = self.channel_mlp(agg)                             # [Kb, Qb, C]
+        scale = self._edge_scale_km(attention, weights, idx_t, mask_t)
+        return coef * scale[..., None].astype(coef.dtype)
+
+    def _call_bucketed_aug(self, y, bg: BucketedGraph, x, f_y, weights,
+                           num_samples, return_rep):
+        """Coordinate-augmented bucketed transform (vx-flattened f_y): one
+        [f ‖ packed coords] row gather per bucket (gather_rows_bucketed_tg,
+        single-gather combined backward), coefficients K-major from the
+        recovered exact fp32 coordinate rows, multiply-reduce left to XLA.
+        Replaces three separate gather families (f, kernel coords, geoembed
+        coords) per bucket — see aug_gather_on."""
+        c_f = f_y.shape[-1]
+        d1 = y.shape[-1]
+        f_aug = jnp.concatenate(
+            [f_y, pack_f32_cols(y.astype(jnp.float32), f_y.dtype)], -1)
+        idxs = tuple(g.indices for g in bg.buckets)
+        gaths = gather_rows_bucketed_tg(f_aug, idxs, bg.tgraph, num_samples)
+        outs, reps, offset = [], [], 0
+        for g, gath_aug in zip(bg.buckets, gaths):
+            nb = g.indices.shape[-2]
+            x_b = x[offset:offset + nb]
+            offset += nb
+            rep = jax.lax.stop_gradient(
+                unpack_f32_cols(gath_aug[..., c_f:], d1))        # [Kb, Qb, d]
+            reps.append(rep)
+            coef = self._folded_coef_kmajor(rep, x_b, g.indices.T,
+                                            g.mask.T, weights)
+            outs.append((coef.astype(jnp.float32)
+                         * gath_aug[..., :c_f].astype(jnp.float32))
+                        .sum(0).astype(f_y.dtype))
+        out = jnp.concatenate(outs, axis=0)
+        return (out, tuple(reps)) if return_rep else out
+
     def _call_bucketed(self, y: jnp.ndarray, bg: BucketedGraph,
                        x: jnp.ndarray, f_y: Optional[jnp.ndarray],
                        weights: Optional[jnp.ndarray],
-                       num_samples: int = 1) -> jnp.ndarray:
+                       num_samples: int = 1,
+                       return_rep: bool = False) -> jnp.ndarray:
         """Integral transform over a degree-bucketed graph (ops/padding.py).
 
         x must be the bucket-concatenated query coords; the result is in the
@@ -364,6 +412,13 @@ class AGNO(nn.Module):
                     and f_y.ndim in (2, 3))
         from ..utils.routing import record_route
 
+        if combined and f_y.ndim == 2 and aug_gather_on():
+            record_route("agno", "xla-bucketed-aug")
+            return self._call_bucketed_aug(y, bg, x, f_y, weights,
+                                           num_samples, return_rep)
+        if return_rep:
+            raise ValueError("return_rep requires the aug gather route "
+                             "(GAOT_AUG_GATHER)")
         record_route("agno",
                      "xla-bucketed" if combined else "xla-bucketed-plain")
         parts, offset = [], 0

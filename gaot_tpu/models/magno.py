@@ -279,15 +279,28 @@ class _MAGNOBase(nn.Module):
         dropped = bg._replace(buckets=tuple(
             self._drop_edges(g, training) for g in bg.buckets))
 
-        cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
-                        num_samples=num_samples)
+        # The bucketed aug route recovers per-bucket fp32 coordinate rows
+        # from its own augmented gathers — share them with geoembed instead
+        # of re-gathering (see _agno_scale).
+        aug = (f_src is not None and f_src.ndim == 2
+               and cfg.transform_type == "linear"
+               and not cfg.node_embedding
+               and dropped.tgraph is not None and aug_gather_on())
+        reps = None
+        if aug and cfg.use_geoembed:
+            cat, reps = self.agno(y=src_proc, graph=dropped, x=dst_proc,
+                                  f_y=f_src, num_samples=num_samples,
+                                  return_rep=True)
+        else:
+            cat = self.agno(y=src_proc, graph=dropped, x=dst_proc, f_y=f_src,
+                            num_samples=num_samples)
 
         if cfg.use_geoembed:
             # One geoembed call over all buckets: the statistical features
             # standardize over the full (valid) query set, exactly like the
             # dense layout.
             gemb = self.geoembed(src_coords, dst_cat, dropped, num_samples,
-                                 nbr=None, kmajor=False)
+                                 nbr=reps, kmajor=reps is not None)
             if cat.ndim == 3:
                 gemb = jnp.broadcast_to(gemb[None], cat.shape[:1] + gemb.shape)
             cat = jnp.concatenate([cat, gemb], axis=-1)

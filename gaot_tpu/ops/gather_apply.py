@@ -221,7 +221,7 @@ def _gather_rows_bwd(num_samples, res, d_gath):
     if isinstance(tgraph, GroupedTransposeGraph):
         qs = q // num_samples
         d_f = _grouped_sum_scan(
-            d_flat.reshape(num_samples, qs * k, w), tgraph)
+            (d_flat.reshape(num_samples, qs * k, w),), tgraph)
     else:
         cg = jnp.where(tgraph.mask.T[..., None],
                        _bulk_gather(d_flat, tgraph.edge_pos.T), 0)
@@ -233,17 +233,70 @@ def _gather_rows_bwd(num_samples, res, d_gath):
 gather_rows_tg.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def _grouped_sum_scan(d3, grouped: GroupedTransposeGraph):
-    """Per-sample grouped transpose segment-sum: d3 [S, Es, W] per-sample
-    edge-flat cotangent slabs → [S·N, W] source-row sums (original row
-    order). The single-gather backward of :func:`gather_rows_tg`."""
-    s, es, w = d3.shape
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_rows_bucketed_tg(f2d: jnp.ndarray, idxs, tgraph,
+                            num_samples: int = 1):
+    """Per-bucket row gathers with one combined segment-sum backward.
+
+    f2d: [N, W]; idxs: per-bucket [Qb, Kb] indices (vx-flattened bucketed
+    layout). Returns a tuple of [Kb, Qb, W] gathers. Backward: the
+    per-bucket cotangents concat into each sample's bucket-major edge slab
+    and one grouped transpose segment-sum produces d_f — the bucketed
+    analogue of :func:`gather_rows_tg`."""
+    return tuple(_bulk_gather(f2d, idx.T) for idx in idxs)
+
+
+def _gather_rows_b_fwd(f2d, idxs, tgraph, num_samples=1):
+    return (tuple(_bulk_gather(f2d, idx.T) for idx in idxs),
+            (idxs, tgraph, jnp.zeros((0,), f2d.dtype)))
+
+
+def _gather_rows_b_bwd(num_samples, res, d_gaths):
+    idxs, tgraph, dtype_token = res
+    f_dtype = dtype_token.dtype
+    s_n = num_samples
+    d_xs = []
+    for dg in d_gaths:
+        kb, qb, w = dg.shape
+        rs = qb // s_n
+        # [Kb, Qb, W] → sample-major per-sample edge slab [S, rs·Kb, W]
+        # (edge id r·Kb + k within the sample, matching the bucket-concat
+        # numbering of the combined transpose graph).
+        d_xs.append(jnp.swapaxes(dg.astype(f_dtype), 0, 1)
+                    .reshape(s_n, rs * kb, w))
+    if isinstance(tgraph, GroupedTransposeGraph):
+        d_f = _grouped_sum_scan(tuple(d_xs), tgraph)
+    else:
+        d_flat = jnp.concatenate(
+            [d.reshape(-1, d.shape[-1]) for d in d_xs], axis=0)
+        cg = jnp.where(tgraph.mask.T[..., None],
+                       _bulk_gather(d_flat, tgraph.edge_pos.T), 0)
+        d_f = cg.astype(jnp.float32).sum(0).astype(f_dtype)
+    zeros_i = lambda x: jnp.zeros_like(x)
+    return (d_f, tuple(jnp.zeros(i.shape, jnp.int32) for i in idxs),
+            jax.tree.map(zeros_i, tgraph))
+
+
+gather_rows_bucketed_tg.defvjp(_gather_rows_b_fwd, _gather_rows_b_bwd)
+
+
+def _grouped_sum_scan(d_xs, grouped: GroupedTransposeGraph):
+    """Per-sample grouped transpose segment-sum: d_xs is a tuple of
+    [S, ·, W] per-sample edge-flat cotangent slab parts (one part for the
+    flat layout, one per bucket for the bucketed layout) whose concat is
+    each sample's edge slab. Returns [S·N, W] source-row sums in original
+    row order. The single-gather backward of :func:`gather_rows_tg` /
+    :func:`gather_rows_bucketed_tg`."""
+    s = d_xs[0].shape[0]
+    w = d_xs[0].shape[-1]
+    es = sum(x.shape[1] for x in d_xs)
     n = grouped.inv_perm.shape[1]
-    f_dtype = d3.dtype
+    f_dtype = d_xs[0].dtype
     gs = tuple((g.edge_pos, g.mask) for g in grouped.groups)
 
     def body(_, args):
-        slab, gsi = args
+        dxs, gsi = args
+        slab = dxs[0] if len(dxs) == 1 else jnp.concatenate(list(dxs), 0)
         parts = []
         for ep_g, tm_g in gsi:
             cg = jnp.where(tm_g.T[..., None],
@@ -251,7 +304,7 @@ def _grouped_sum_scan(d3, grouped: GroupedTransposeGraph):
             parts.append(cg.astype(jnp.float32).sum(0).astype(f_dtype))
         return None, jnp.concatenate(parts, axis=0)
 
-    _, df = jax.lax.scan(body, None, (d3, gs), unroll=_scan_unroll())
+    _, df = jax.lax.scan(body, None, (d_xs, gs), unroll=_scan_unroll())
     inv = grouped.inv_perm + (jnp.arange(s, dtype=grouped.inv_perm.dtype)
                               * n)[:, None]
     return jnp.take(df.reshape(s * n, w), inv.reshape(-1), axis=0)

@@ -233,3 +233,60 @@ def test_aug_gather_route_matches_separate(monkeypatch):
         os.environ.pop("GAOT_AUG_GATHER", None)
     idx_t = np.asarray(flat_g.indices).T
     np.testing.assert_array_equal(np.asarray(rep), np.asarray(y)[idx_t])
+
+
+def test_aug_gather_bucketed_matches_separate(monkeypatch):
+    """The bucketed aug route (per-bucket augmented gathers + combined
+    single-gather backward) must match the separate-gather bucketed path in
+    outputs and parameter gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaot_tpu.models.agno import AGNO
+    from gaot_tpu.models.magno import flatten_vx_bucketed
+    from gaot_tpu.ops.neighbor_search import radius_search
+    from gaot_tpu.ops.padding import (bucketize_graphs_stacked, pad_csr,
+                                      repad, stack_graphs)
+
+    from tests.test_vx_bucketing import _random_stacked_graph
+
+    rng = np.random.default_rng(9)
+    b, n, q, c = 3, 40, 32, 8
+    srcs = rng.uniform(-1, 1, (b, n, 2))
+    dst = rng.uniform(-1, 1, (b, q, 2))
+    stacked = _random_stacked_graph(rng, b, q, n, 16)
+    bb = bucketize_graphs_stacked(stacked, num_sources=n, tile=4, min_k=4,
+                                  launch_penalty_rows=8, with_transpose=True)
+    assert bb is not None and len(bb.buckets) > 1
+    flat = flatten_vx_bucketed(jax.tree.map(jnp.asarray, bb), n)
+    y = jnp.asarray(srcs.reshape(b * n, 2).astype(np.float32))
+    # bucket-concatenated query coords (bucket row order)
+    dst_flat = jnp.asarray(dst.reshape(b * q, 2).astype(np.float32))
+    x_cat = jnp.take(dst_flat, flat.perm, axis=0)
+    f = jnp.asarray(rng.normal(size=(b * n, c)).astype(np.float32))
+
+    model = AGNO(channel_mlp_features=[16, c], transform_type="linear",
+                 use_attn=True, attention_type="cosine", coord_dim=2)
+    params = model.init(jax.random.key(0), y, flat, x=x_cat, f_y=f,
+                        num_samples=b)
+
+    def run(aug):
+        monkeypatch.setenv("GAOT_AUG_GATHER", "1" if aug else "0")
+
+        def loss(p, f):
+            out = model.apply(p, y, flat, x=x_cat, f_y=f, num_samples=b)
+            return jnp.sum(jnp.sin(out)), out
+
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                             has_aux=True)(params, f)
+        return out, grads
+
+    out_off, (gp_off, gf_off) = run(False)
+    out_on, (gp_on, gf_on) = run(True)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_on), np.asarray(gf_off),
+                               rtol=1e-4, atol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(gp_on), jax.tree.leaves(gp_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
