@@ -681,12 +681,18 @@ def run_ablate(mode, run_default):
     vx math)."""
     if mode == "vx":
         settings = [
-            # Default XLA K-major route with in-degree-grouped d_f scans;
-            # grouped_df_off restores the flat [N, Kt] transpose layout
-            # (read at graph-BUILD time, ops/padding.py::degree_group_tgraph);
-            # Morton node ordering on/off (default-on since round 4).
+            # Attribution chain for the round-5 vx route: default =
+            # coordinate-augmented gathers (enc+dec) over in-degree-grouped
+            # transpose graphs; aug_off restores the separate f/coords
+            # gathers (trace-time, models/agno.py::aug_gather_on);
+            # grouped_df_off additionally restores the flat [N, Kt]
+            # transpose layout (graph-BUILD time,
+            # ops/padding.py::degree_group_tgraph); Morton node ordering
+            # on/off (default-on since round 4).
             ("default", {}),
-            ("grouped_df_off", {"GAOT_GROUPED_DF": "0"}),
+            ("aug_off", {"GAOT_AUG_GATHER": "0"}),
+            ("grouped_df_off", {"GAOT_AUG_GATHER": "0",
+                                "GAOT_GROUPED_DF": "0"}),
             ("morton_off", {"BENCH_MORTON": "0"}),
         ]
     else:
