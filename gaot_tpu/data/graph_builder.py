@@ -211,6 +211,7 @@ class GraphBuilder:
             "node_pad": self.node_pad_multiple, "samples": num_samples,
             "tgraphs": with_transpose, "bucketing": bucketing,
             "morton": self.morton, "grouped_df": grouped_df_enabled(),
+            "vx_min_bucket_k": vx_min_bucket_k(),
         }, sort_keys=True)
         digest = hashlib.sha1(key.encode()).hexdigest()[:16]
         return os.path.join(cache_dir, f"graphs_{dataset}_{digest}.npz")
@@ -354,6 +355,16 @@ def prepare_fx_device_graphs(enc: List[PaddedGraph], dec: List[PaddedGraph],
             bg = (bucketize_graph(g, num_sources, with_transpose=use_t)
                   if bucketing else None)
             if bg is not None:
+                if bg.tgraph is not None and grouped_df_enabled():
+                    # In-degree-group the combined transpose graph (fx:
+                    # one "sample", [1, N, Kt] view) — the fx d_f gathers
+                    # move [B·C] 8 KB rows, so the ~3× masked padding is
+                    # wasted BYTES here, not just descriptors.
+                    gt = degree_group_tgraph(
+                        TransposeGraph(bg.tgraph.edge_pos[None],
+                                       bg.tgraph.query[None],
+                                       bg.tgraph.mask[None]))
+                    bg = bg._replace(tgraph=gt)
                 out_g.append(jax.tree.map(jnp.asarray, bg))
                 out_t.append(None)
             else:
@@ -369,6 +380,18 @@ def prepare_fx_device_graphs(enc: List[PaddedGraph], dec: List[PaddedGraph],
     enc_g, enc_t = prep(enc, num_nodes)
     dec_g, dec_t = prep(dec, num_latent)
     return enc_g, dec_g, enc_t, dec_t
+
+
+def vx_min_bucket_k() -> int:
+    """Minimum dense K at which the vx stacked bucketizer engages.
+
+    The fx-era default (12) predates the round-5 gather economics: with
+    coordinate-augmented gathers the decoder's dense [Q, 8] layout (42%
+    fill, mean degree 3.4) wastes ~2.4× of the largest remaining gather
+    family AND of the per-edge kernel-MLP work, so K=8 graphs now bucket
+    profitably. GAOT_VX_MIN_BUCKET_K overrides (build-time; part of the
+    graph cache key)."""
+    return int(os.environ.get("GAOT_VX_MIN_BUCKET_K", "6"))
 
 
 def grouped_df_enabled() -> bool:
@@ -504,7 +527,8 @@ def bucketize_vx_splits(built: List[VxSplitGraphs], q_lat: int,
             np.concatenate([g.indices for g in stacks], axis=0),
             np.concatenate([g.mask for g in stacks], axis=0))
         bb = bucketize_graphs_stacked(cat, num_sources,
-                                      with_transpose=with_transpose)
+                                      with_transpose=with_transpose,
+                                      min_k=vx_min_bucket_k())
         if bb is None:
             return None
         gt = None

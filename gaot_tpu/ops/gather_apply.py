@@ -611,10 +611,30 @@ def _bucketed_df(coefs, dout2, tgraph, num_samples, b, c):
     """Combined d_f over the bucket-concatenated transpose graph.
     coefs: per-bucket [Qb, Kb, C]; dout2: [R, b·C]. Returns [N, b·C] rows."""
     f_dtype = dout2.dtype
+    if isinstance(tgraph, GroupedTransposeGraph) and b > 1:
+        # fx batched layout (one "sample", f [N, B, C]): per-group gathers
+        # over the degree-grouped combined tgraph — same math as the flat
+        # combined pass below, minus the ~3× masked-padding rows (each row
+        # is a [B·C] 8 KB payload here, so the cut is bandwidth, not just
+        # descriptors). Pallas multiply-reduce per group (wide W keeps the
+        # fp32-accumulator kernels profitable at fx widths).
+        coef_flat = jnp.concatenate([cf.reshape(-1, c) for cf in coefs],
+                                    axis=0).astype(f_dtype)
+        es = coef_flat.shape[0]
+        parts = []
+        for g in tgraph.groups:
+            ep_g, tq_g, tm_g = g.edge_pos[0], g.query[0], g.mask[0]
+            cg = jnp.where(tm_g.T[..., None],
+                           _bulk_gather(coef_flat,
+                                        jnp.clip(ep_g, 0, es - 1).T), 0)
+            dg = _bulk_gather(dout2, jnp.clip(tq_g, 0,
+                                              dout2.shape[0] - 1).T)
+            parts.append(_mulred_k_dispatch(cg, dg, b))
+        df = jnp.concatenate(parts, axis=0)         # degree-sorted rows
+        return jnp.take(df, tgraph.inv_perm[0], axis=0).astype(f_dtype)
     if isinstance(tgraph, GroupedTransposeGraph):
         # vx grouped layout: per-sample per-bucket slabs feed the grouped
         # scan directly (local concat ids — no global un-remap needed).
-        assert b == 1, "grouped bucketed d_f is a vx-flattened (b==1) layout"
         s_n = num_samples
         rs = [cf.shape[0] // s_n for cf in coefs]
         coef_xs = tuple(cf.astype(f_dtype).reshape(

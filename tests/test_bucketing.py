@@ -222,3 +222,46 @@ def test_bucketed_transpose_backward_matches_plain():
                                    rtol=1e-5, atol=1e-5)
 
 
+
+
+def test_fx_grouped_tgraph_matches_flat():
+    """The fx batched bucketed VJP with an in-degree-grouped combined
+    tgraph must match the flat combined tgraph in value and grads."""
+    from gaot_tpu.ops.gather_apply import (apply_bucketed_graph_transform,
+                                           bucketed_gather_multiply_reduce)
+    from gaot_tpu.ops.padding import TransposeGraph, degree_group_tgraph
+
+    rng = np.random.default_rng(4)
+    n, q, c, b = 60, 90, 4, 3
+    g = _random_graph(rng, q=q, n=n)
+    bg = bucketize_graph(g, num_sources=n, with_transpose=True, tile=16)
+    assert bg is not None
+    gt = degree_group_tgraph(TransposeGraph(bg.tgraph.edge_pos[None],
+                                            bg.tgraph.query[None],
+                                            bg.tgraph.mask[None]))
+    assert len(gt.groups) >= 2
+    bg_flat = jax.tree.map(jnp.asarray, bg)
+    bg_grp = jax.tree.map(jnp.asarray, bg._replace(tgraph=gt))
+
+    f = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    coefs = []
+    for bkt in bg.buckets:
+        qb, kb = bkt.indices.shape
+        cf = rng.normal(size=(qb, kb, c)).astype(np.float32)
+        coefs.append(jnp.asarray(cf) * bkt.mask[..., None])
+
+    def loss(which):
+        bgx = bg_grp if which == "grouped" else bg_flat
+        return lambda cfs, f: jnp.sum(jnp.sin(apply_bucketed_graph_transform(
+            tuple(cfs), f, bgx, num_samples=1)))
+
+    np.testing.assert_allclose(
+        np.asarray(loss("grouped")(coefs, f)),
+        np.asarray(loss("flat")(coefs, f)), rtol=1e-6)
+    gq = jax.grad(loss("flat"), argnums=(0, 1))(coefs, f)
+    gg = jax.grad(loss("grouped"), argnums=(0, 1))(coefs, f)
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gq[1]),
+                               rtol=1e-4, atol=1e-5)
+    for cq, cg_ in zip(gq[0], gg[0]):
+        np.testing.assert_allclose(np.asarray(cg_), np.asarray(cq),
+                                   rtol=1e-4, atol=1e-5)
