@@ -293,10 +293,15 @@ def _grouped_sum_scan(d_xs, grouped: GroupedTransposeGraph):
     n = grouped.inv_perm.shape[1]
     f_dtype = d_xs[0].dtype
     gs = tuple((g.edge_pos, g.mask) for g in grouped.groups)
+    # Concat the per-bucket slab parts ONCE along the per-sample edge axis,
+    # outside the scan — per-iteration concats lowered as pad/maximum loop
+    # fusions costing ~2.4 ms/step on the 8k flagship (profiler,
+    # pad_maximum_fusion.55/56); one contiguous [S, Es, W] write is cheap
+    # and the scan then slices it as xs.
+    d_cat = d_xs[0] if len(d_xs) == 1 else jnp.concatenate(list(d_xs), 1)
 
     def body(_, args):
-        dxs, gsi = args
-        slab = dxs[0] if len(dxs) == 1 else jnp.concatenate(list(dxs), 0)
+        slab, gsi = args
         parts = []
         for ep_g, tm_g in gsi:
             cg = jnp.where(tm_g.T[..., None],
@@ -304,7 +309,7 @@ def _grouped_sum_scan(d_xs, grouped: GroupedTransposeGraph):
             parts.append(cg.astype(jnp.float32).sum(0).astype(f_dtype))
         return None, jnp.concatenate(parts, axis=0)
 
-    _, df = jax.lax.scan(body, None, (d_xs, gs), unroll=_scan_unroll())
+    _, df = jax.lax.scan(body, None, (d_cat, gs), unroll=_scan_unroll())
     inv = grouped.inv_perm + (jnp.arange(s, dtype=grouped.inv_perm.dtype)
                               * n)[:, None]
     return jnp.take(df.reshape(s * n, w), inv.reshape(-1), axis=0)
@@ -330,11 +335,14 @@ def _grouped_df_scan(coef_xs, dout_xs, grouped: GroupedTransposeGraph):
     f_dtype = dout_xs[0].dtype
 
     gs = tuple((g.edge_pos, g.query, g.mask) for g in grouped.groups)
+    # One concat outside the scan (see _grouped_sum_scan).
+    c_cat = coef_xs[0] if len(coef_xs) == 1 else jnp.concatenate(
+        list(coef_xs), 1)
+    d_cat = dout_xs[0] if len(dout_xs) == 1 else jnp.concatenate(
+        list(dout_xs), 1)
 
     def body(_, args):
-        cxs, dxs, gsi = args
-        slab = cxs[0] if len(cxs) == 1 else jnp.concatenate(list(cxs), 0)
-        drows = dxs[0] if len(dxs) == 1 else jnp.concatenate(list(dxs), 0)
+        slab, drows, gsi = args
         parts = []
         for ep_g, tq_g, tm_g in gsi:
             cg = jnp.where(tm_g.T[..., None],
@@ -344,7 +352,7 @@ def _grouped_df_scan(coef_xs, dout_xs, grouped: GroupedTransposeGraph):
                          .sum(0).astype(f_dtype))
         return None, jnp.concatenate(parts, axis=0)
 
-    _, df = jax.lax.scan(body, None, (coef_xs, dout_xs, gs),
+    _, df = jax.lax.scan(body, None, (c_cat, d_cat, gs),
                          unroll=_scan_unroll())
     inv = grouped.inv_perm + (jnp.arange(b, dtype=grouped.inv_perm.dtype)
                               * n)[:, None]
