@@ -39,8 +39,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: heavy end-to-end / parity tests, opt-in via --runslow "
-        "(default tier: ~5 min solo on this box's single CPU core, up to "
-        "~2x under load; full tier ~15-25 min)")
+        "(default tier: ~4-5 min solo on this box's single CPU core, up to "
+        "~2x under load; full tier ~15-25 min). Skip accounting for the "
+        "default tier (46 skips as of round 5): all but a handful are "
+        "slow-marked heavy-tier tests; the remainder are TPU-only Pallas "
+        "kernel tests that conditionally skip on the CPU mesh.")
 
 
 def pytest_collection_modifyitems(config, items):
