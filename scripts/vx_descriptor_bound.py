@@ -69,21 +69,24 @@ def main(batch_size=16, num_nodes=16384, latent=(64, 64)):
     if isinstance(enc, BatchedBucketedGraph):
         e_rows = sum(g.indices.shape[1] * g.indices.shape[2]
                      for g in enc.buckets)
-        rows["enc fwd f gather"] = b * e_rows
-        rows["enc kernel coords gather"] = b * e_rows
-        rows["enc geoembed coords gather"] = b * e_rows
-        # bwd: d_f cg+dg over the (grouped) tgraph + unpermute rows
+        rows["enc fwd f gather (aug: coords ride along)"] = b * e_rows
+        # bwd: single cotangent gather over the (grouped) tgraph (aug
+        # route); + unpermute rows
         t_rows = tg_rows(enc.tgraph)
-        rows["enc bwd d_f gathers (cg+dg)"] = b * 2 * t_rows
+        rows["enc bwd d_f gather (single, aug route)"] = b * t_rows
         rows["enc bwd unpermute"] = b * enc.tgraph.inv_perm.shape[-1] \
             if isinstance(enc.tgraph, GroupedTransposeGraph) else 0
         rows["enc unpermute (fwd out)"] = b * enc.inv_perm.shape[-1]
     dec = split.decoder[0]
-    d_rows = dec.indices.shape[1] * dec.indices.shape[2]
-    rows["dec fwd f gather"] = b * d_rows
-    rows["dec shared coords gather (kernel+geoembed)"] = b * d_rows
-    t = split.decoder_t[0]
-    rows["dec bwd d_f gathers (cg+dg)"] = b * 2 * tg_rows(t)
+    if isinstance(dec, BatchedBucketedGraph):
+        d_rows = sum(g.indices.shape[1] * g.indices.shape[2]
+                     for g in dec.buckets)
+        t = dec.tgraph
+    else:
+        d_rows = dec.indices.shape[1] * dec.indices.shape[2]
+        t = split.decoder_t[0]
+    rows["dec fwd f gather (aug: coords ride along)"] = b * d_rows
+    rows["dec bwd d_f gather (single, aug route)"] = b * tg_rows(t)
     rows["dec bwd unpermute"] = b * t.inv_perm.shape[-1] \
         if isinstance(t, GroupedTransposeGraph) else 0
     # batch assembly: one row gather of every per-sample buffer (~the f/x
